@@ -1,0 +1,22 @@
+"""cnn_gp_tpu: TPU-native NNGP kernels for convolutional architectures.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the reference
+``cnn_gp`` package ("Deep Convolutional Networks as shallow Gaussian
+Processes", Garriga-Alonso et al., ICLR 2019): exact covariance kernels of
+infinitely-wide CNNs, blockwise Gram assembly, GP classification, and
+finite-width Monte-Carlo validation -- redesigned for TPU meshes.
+"""
+
+from .kernel_patch import KernelPatch
+from .kernels import (NNGPKernel, Conv2d, ReLU, Sequential, Sum, Mixture,
+                      resnet_block, kernel_fn, input_patch)
+from .finite import FiniteNet, sample_nn_outputs
+from . import settings
+
+__all__ = [
+    "KernelPatch", "NNGPKernel", "Conv2d", "ReLU", "Sequential", "Sum",
+    "Mixture", "resnet_block", "kernel_fn", "input_patch", "FiniteNet",
+    "sample_nn_outputs", "settings",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,179 @@
+"""Arccos-kernel ReLU covariance transform.
+
+Implements the infinite-width ReLU covariance map (reference:
+cnn_gp/kernels.py:128-165):
+
+    xy' = ( sqrt(xx*yy - xy^2) + (pi - theta) * xy ) / (2*pi),
+    theta = acos( clip( xy / sqrt(xx*yy), -1, 1 ) ),
+    xx' = xx / 2,   yy' = yy / 2  (the /2 replaces the usual sqrt(2) gain),
+
+with the same float32 stabilisation as the reference: ``+ f32_tiny`` under
+the rsqrt, the cosine clamped to [-1, 1], the sine argument clamped >= 0,
+and the *same-example* entries overwritten with ``xx'`` so the Gram diagonal
+stays exactly consistent (reference: cnn_gp/kernels.py:146-162).
+
+Two lowerings:
+
+* ``xla``    -- plain jnp; XLA fuses the whole chain into one elementwise
+  loop.  Works on every backend; used on CPU and as the reference point.
+* ``pallas`` -- a fused Pallas TPU kernel over ``[Nx, Ny, W*H]`` tiles that
+  keeps the broadcasted row/column variances and the diag-mask fix in VMEM.
+  Mosaic has no ``acos`` primitive, so the kernel evaluates a Cephes-style
+  polynomial arccos (sqrt + fma only, ~1 ulp float32); see ``acos_f32``.
+
+The same-example fix-up is driven by a ``[Nx, Ny]`` mask (see
+``KernelPatch.diag_mask``) instead of the reference's eye matrix, so one
+compiled program serves diagonal *and* off-diagonal Gram tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..kernel_patch import KernelPatch
+
+__all__ = ["relu_transform", "acos_f32", "DEFAULT_METHOD"]
+
+F32_TINY = float(np.finfo(np.float32).tiny)
+_HALF_PI = math.pi / 2.0
+
+DEFAULT_METHOD = "auto"
+
+
+def acos_f32(x: jax.Array) -> jax.Array:
+    """float32 arccos from sqrt+fma only (Cephes asinf polynomial).
+
+    Mosaic (Pallas TPU) has no acos/asin/atan primitives, so the fused
+    kernel needs its own.  Max abs error ~1e-7 over [-1, 1]; relative
+    accuracy is preserved near +-1 via acos(x) = 2*asin(sqrt((1-x)/2)).
+    Inputs must already be clamped to [-1, 1] (the ReLU transform does).
+    """
+    a = jnp.abs(x)
+    big = a > 0.5
+    z_big = 0.5 * (1.0 - a)
+    z = jnp.where(big, z_big, a * a)
+    t = jnp.where(big, jnp.sqrt(z_big), a)
+    p = ((((4.2163199048e-2 * z + 2.4181311049e-2) * z + 4.5470025998e-2) * z
+          + 7.4953002686e-2) * z + 1.6666752422e-1)
+    asin_core = t + t * z * p          # = asin(t) for t in [0, sqrt(0.5)]
+    acos_abs = jnp.where(big, 2.0 * asin_core, _HALF_PI - asin_core)
+    return jnp.where(x < 0, math.pi - acos_abs, acos_abs)
+
+
+def _xy_update(xy, xx_yy, acos_fn):
+    """Core elementwise map shared by both lowerings (no mask fix)."""
+    cos_theta = jnp.clip(xy * jax.lax.rsqrt(xx_yy), -1.0, 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(xx_yy - xy * xy, 0.0))
+    theta = acos_fn(cos_theta)
+    return (sin_theta + (math.pi - theta) * xy) * (0.5 / math.pi)
+
+
+# ---------------------------------------------------------------------------
+# XLA lowering
+# ---------------------------------------------------------------------------
+
+def _relu_xla(kp: KernelPatch) -> KernelPatch:
+    xx_half = kp.xx * 0.5
+    if kp.diag:
+        if kp.same:
+            # Reference: same & diag => xy' = xx' exactly
+            # (cnn_gp/kernels.py:157-158).
+            return KernelPatch(xx_half, xx_half, xx_half, kp.same, kp.diag)
+        xx_yy = kp.xx * kp.yy + F32_TINY
+        xy = _xy_update(kp.xy, xx_yy, jnp.arccos)
+        return KernelPatch(xy, xx_half, kp.yy * 0.5, kp.same, kp.diag)
+
+    xx_yy = kp.xx[:, None] * kp.yy[None, :] + F32_TINY
+    xy = _xy_update(kp.xy, xx_yy, jnp.arccos)
+    mask = kp.resolve_diag_mask()
+    if mask is not None:
+        # Same-example entries must equal xx' exactly
+        # (cnn_gp/kernels.py:160-162).
+        xy = jnp.where(mask[:, :, None, None],
+                       jnp.broadcast_to(xx_half[:, None], xy.shape), xy)
+    yy_half = xx_half if kp.same else kp.yy * 0.5
+    return KernelPatch(xy, xx_half, yy_half, kp.same, kp.diag, kp.diag_mask)
+
+
+# ---------------------------------------------------------------------------
+# Pallas lowering (TPU)
+# ---------------------------------------------------------------------------
+
+def _relu_kernel(xy_ref, xx_ref, yy_ref, mask_ref, out_ref):
+    xx = xx_ref[:]              # [TI, 1, TS]
+    yy = yy_ref[:]              # [1, Ny, TS]
+    xy = xy_ref[:]              # [TI, Ny, TS]
+    xx_yy = xx * yy + F32_TINY
+    new_xy = _xy_update(xy, xx_yy, acos_f32)
+    mask = mask_ref[:]          # [TI, Ny] float {0, 1}
+    out_ref[:] = jnp.where(mask[:, :, None] > 0.5,
+                           jnp.broadcast_to(xx * 0.5, new_xy.shape), new_xy)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _relu_xy_pallas(xy3, xx3, yy3, maskf, *, interpret=False):
+    """xy3: [Nx, Ny, S]; xx3: [Nx, 1, S]; yy3: [1, Ny, S]; maskf: [Nx, Ny]."""
+    nx, ny, s = xy3.shape
+    tile_i = min(8, nx)
+    tile_s = 128 if s >= 128 else s
+    grid = (pl.cdiv(nx, tile_i), pl.cdiv(s, tile_s))
+    return pl.pallas_call(
+        _relu_kernel,
+        out_shape=jax.ShapeDtypeStruct((nx, ny, s), xy3.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_i, ny, tile_s), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_i, 1, tile_s), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ny, tile_s), lambda i, j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_i, ny), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_i, ny, tile_s), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xy3, xx3, yy3, maskf)
+
+
+def _relu_pallas(kp: KernelPatch, interpret: bool = False) -> KernelPatch:
+    if kp.diag:          # tiny; not worth a kernel
+        return _relu_xla(kp)
+    nx, ny = kp.nx, kp.ny
+    w, h = kp.spatial
+    s = w * h
+    mask = kp.resolve_diag_mask()
+    maskf = (mask.astype(jnp.float32) if mask is not None
+             else jnp.zeros((nx, ny), jnp.float32))
+    xy = _relu_xy_pallas(
+        kp.xy.reshape(nx, ny, s), kp.xx.reshape(nx, 1, s),
+        kp.yy.reshape(1, ny, s), maskf,
+        interpret=interpret).reshape(nx, ny, w, h)
+    xx_half = kp.xx * 0.5
+    yy_half = xx_half if kp.same else kp.yy * 0.5
+    return KernelPatch(xy, xx_half, yy_half, kp.same, kp.diag, kp.diag_mask)
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+
+def relu_transform(kp: KernelPatch, method: str = DEFAULT_METHOD
+                   ) -> KernelPatch:
+    if method == "auto":
+        method = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if method == "xla":
+        return _relu_xla(kp)
+    if method == "pallas":
+        return _relu_pallas(kp)
+    if method == "pallas_interpret":
+        return _relu_pallas(kp, interpret=True)
+    raise ValueError(f"unknown relu method {method!r}")

@@ -1,0 +1,34 @@
+"""Global lowering settings for the kernel compute path.
+
+Selects how the two hot ops lower to TPU.  Read at trace time; the jitted
+kernel entry points take a snapshot as a static argument so changing a
+setting triggers a retrace (never a stale cache hit).
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+# Box-filter lowering for Conv2d covariance: separable | direct | matmul.
+conv_method = "separable"
+# ReLU arccos transform lowering: auto | xla | pallas | pallas_interpret.
+relu_method = "auto"
+# Contraction precision for the input second-moment einsum.
+moment_precision = "highest"
+
+
+def snapshot():
+    return (conv_method, relu_method, moment_precision)
+
+
+@contextlib.contextmanager
+def override(**kwargs):
+    import cnn_gp_tpu.settings as s
+    old = {k: getattr(s, k) for k in kwargs}
+    try:
+        for k, v in kwargs.items():
+            setattr(s, k, v)
+        yield
+    finally:
+        for k, v in old.items():
+            setattr(s, k, v)
