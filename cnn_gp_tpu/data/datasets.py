@@ -1,0 +1,175 @@
+"""Dataset loading with the reference's concat-then-split semantics.
+
+Rebuild of ``DatasetFromConfig`` (reference: cnn_gp/data.py:129-162) without
+the torch dependency: raw-format readers for MNIST (IDX) and CIFAR-10
+(python pickle batches) produce ``[N, C, W, H]`` float32 arrays with
+torchvision ``ToTensor`` semantics (uint8/255, channels-first), the train
+and test sets are **concatenated into one pool** and then re-split by the
+config's index ranges -- this is how ``test_range=range(60000, 70000)``
+indexes past the 60k MNIST train set (reference: cnn_gp/data.py:147-158).
+
+There is no download path (the target environment has no egress); files
+must already exist under ``datasets_path`` in the standard torchvision
+layout:
+
+    {datasets_path}/MNIST/MNIST/raw/train-images-idx3-ubyte[.gz] ...
+    {datasets_path}/CIFAR10/cifar-10-batches-py/data_batch_1 ...
+
+``dataset_name="synthetic"`` generates a deterministic 10-class
+prototype+noise problem for dataset-free environments.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import pickle
+import struct
+from typing import Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["ArrayDataset", "DatasetFromConfig", "load_mnist_arrays",
+           "load_cifar10_arrays", "synthetic_arrays"]
+
+
+class ArrayDataset:
+    """A materialised dataset: images [N, C, W, H] float32, labels [N]."""
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray):
+        assert images.ndim == 4 and len(images) == len(labels)
+        self.images = images
+        self.labels = labels
+
+    def __len__(self):
+        return len(self.images)
+
+    def subset(self, indices) -> "ArrayDataset":
+        idx = np.asarray(list(indices), dtype=np.int64)
+        return ArrayDataset(self.images[idx], self.labels[idx])
+
+
+def _open_maybe_gz(path: str):
+    if os.path.exists(path):
+        return open(path, "rb")
+    if os.path.exists(path + ".gz"):
+        return gzip.open(path + ".gz", "rb")
+    raise FileNotFoundError(f"{path}[.gz] not found")
+
+
+def _read_idx(path: str) -> np.ndarray:
+    """Read an IDX file (the raw MNIST format)."""
+    with _open_maybe_gz(path) as f:
+        zero, dtype_code, ndim = struct.unpack(">HBB", f.read(4))
+        assert zero == 0, f"bad IDX magic in {path}"
+        dims = struct.unpack(">" + "I" * ndim, f.read(4 * ndim))
+        dtype = {0x08: np.uint8, 0x09: np.int8, 0x0B: np.int16,
+                 0x0C: np.int32, 0x0D: np.float32,
+                 0x0E: np.float64}[dtype_code]
+        data = np.frombuffer(f.read(), dtype=np.dtype(dtype).newbyteorder(">"))
+    return data.reshape(dims)
+
+
+def _find_dir(root: str, *candidates: str) -> str:
+    for c in candidates:
+        p = os.path.join(root, c)
+        if os.path.isdir(p):
+            return p
+    raise FileNotFoundError(
+        f"none of {candidates} found under {root}; place raw dataset files "
+        f"there (no download path exists in this environment)")
+
+
+def load_mnist_arrays(root: str) -> Tuple[np.ndarray, np.ndarray,
+                                          np.ndarray, np.ndarray]:
+    """(train_x, train_y, test_x, test_y); x: [N, 1, 28, 28] float32/255."""
+    raw = _find_dir(root, os.path.join("MNIST", "raw"),
+                    os.path.join("MNIST", "MNIST", "raw"), "raw", "")
+    def imgs(name):
+        a = _read_idx(os.path.join(raw, name))
+        return (a.astype(np.float32) / 255.0)[:, None, :, :]
+    def labels(name):
+        return _read_idx(os.path.join(raw, name)).astype(np.int64)
+    return (imgs("train-images-idx3-ubyte"),
+            labels("train-labels-idx1-ubyte"),
+            imgs("t10k-images-idx3-ubyte"),
+            labels("t10k-labels-idx1-ubyte"))
+
+
+def load_cifar10_arrays(root: str):
+    """(train_x, train_y, test_x, test_y); x: [N, 3, 32, 32] float32/255."""
+    d = _find_dir(root, "cifar-10-batches-py",
+                  os.path.join("CIFAR10", "cifar-10-batches-py"))
+
+    def batch(name):
+        with open(os.path.join(d, name), "rb") as f:
+            entry = pickle.load(f, encoding="latin1")
+        x = entry["data"].reshape(-1, 3, 32, 32).astype(np.float32) / 255.0
+        y = np.asarray(entry["labels"], dtype=np.int64)
+        return x, y
+
+    xs, ys = zip(*(batch(f"data_batch_{i}") for i in range(1, 6)))
+    tx, ty = batch("test_batch")
+    return np.concatenate(xs), np.concatenate(ys), tx, ty
+
+
+def synthetic_arrays(n_train: int = 640, n_test: int = 128,
+                     n_classes: int = 10, shape=(1, 28, 28), seed: int = 0):
+    """Deterministic 'prototype + noise' classification problem."""
+    rng = np.random.RandomState(seed)
+    protos = rng.randn(n_classes, *shape).astype(np.float32)
+
+    def make(n, salt):
+        r = np.random.RandomState(seed + salt)
+        y = np.arange(n, dtype=np.int64) % n_classes
+        x = protos[y] + 0.7 * r.randn(n, *shape).astype(np.float32)
+        perm = r.permutation(n)
+        return x[perm].astype(np.float32), y[perm]
+
+    train_x, train_y = make(n_train, 1)
+    test_x, test_y = make(n_test, 2)
+    return train_x, train_y, test_x, test_y
+
+
+def _load_pool(datasets_path: str, config) -> ArrayDataset:
+    name = config.dataset_name
+    if name == "MNIST":
+        tr_x, tr_y, te_x, te_y = load_mnist_arrays(
+            os.path.join(datasets_path, "MNIST"))
+    elif name == "CIFAR10":
+        tr_x, tr_y, te_x, te_y = load_cifar10_arrays(
+            os.path.join(datasets_path, "CIFAR10"))
+    elif name == "synthetic":
+        n_needed = max(max(config.train_range, default=0),
+                       max(config.validation_range, default=0),
+                       max(config.test_range, default=0)) + 1
+        shape = (config.in_channels, 28, 28)
+        tr_x, tr_y, te_x, te_y = synthetic_arrays(
+            n_train=n_needed, n_test=0, shape=shape)
+        te_x = te_x.reshape((0,) + shape)
+    else:
+        raise ValueError(f"unknown dataset_name {name!r}")
+    # Concatenate train+test into one pool, then re-split by ranges
+    # (reference: cnn_gp/data.py:147-158).
+    x = np.concatenate([tr_x, te_x])
+    y = np.concatenate([tr_y, te_y])
+    for t in getattr(config, "transforms", []):
+        x = t(x)
+    return ArrayDataset(x, y)
+
+
+class DatasetFromConfig:
+    """Train/validation/test splits built from a config module
+    (reference: cnn_gp/data.py:129-162)."""
+
+    def __init__(self, datasets_path: str, config):
+        self.config = config
+        pool = _load_pool(datasets_path, config)
+        self.data_full = pool
+        self.train = pool.subset(config.train_range)
+        self.validation = pool.subset(config.validation_range)
+        self.test = pool.subset(config.test_range)
+
+    @staticmethod
+    def load_full(dataset: ArrayDataset):
+        return dataset.images, dataset.labels

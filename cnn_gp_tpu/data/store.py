@@ -1,0 +1,188 @@
+"""Chunked HDF5 Gram store with tile-level resume.
+
+Byte-compatible with the reference's artifact layout so its tooling can
+read our files: float32 datasets shaped ``(1, N, N2)`` (diag: ``(1, N)``),
+chunks ``(1, bs, bs)``, ``fillvalue=NaN``, resizable leading dim, names
+``Kxx / Kxvx / Kxtx / Kv_diag / Kt_diag`` (reference:
+cnn_gp/kernel_save_tools.py:7-23, exp_mnist_resnet/save_kernel.py:29-36).
+
+Improvements over the reference:
+
+* **Tile-level resume.** The reference can only resume at whole-dataset
+  granularity (skip if the name exists, reference:
+  cnn_gp/kernel_save_tools.py:32-34); a crashed worker leaves silent NaN
+  holes that only surface as a garbage solve.  We track per-tile completion
+  in a ``_done/<name>`` bitmap, skip completed tiles on resume, and expose
+  ``missing_tiles``/``assert_complete`` (the NaN-scan the reference never
+  does).
+* **In-process NaN-merge** of worker shards (replaces
+  exp_mnist_resnet/merge_h5_files.py) driven by the bitmaps, falling back
+  to NaN scanning for files written by the reference.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Optional, Tuple
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+__all__ = ["GramStore", "merge_stores"]
+
+
+def _require_h5py():
+    if h5py is None:
+        raise ImportError("h5py is required for GramStore")
+
+
+class GramStore:
+    """One HDF5 file of Gram datasets plus completion bitmaps."""
+
+    def __init__(self, path: str, mode: str = "a"):
+        _require_h5py()
+        if mode == "a":
+            os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self.f = h5py.File(path, mode)
+        self.path = path
+
+    # -- lifecycle ---------------------------------------------------------
+    def close(self):
+        self.f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- datasets ----------------------------------------------------------
+    def create(self, name: str, n: int, n2: Optional[int], batch_size: int,
+               diag: bool = False):
+        """Create a NaN-filled dataset (idempotent)."""
+        if name in self.f:
+            return self.f[name]
+        if diag:
+            shape, maxshape = (1, n), (None, n)
+            chunks = (1, min(batch_size, n))
+            done_shape = (_cdiv(n, batch_size),)
+        else:
+            n2 = n if n2 is None else n2
+            shape, maxshape = (1, n, n2), (None, n, n2)
+            chunks = (1, min(batch_size, n), min(batch_size, n2))
+            done_shape = (_cdiv(n, batch_size), _cdiv(n2, batch_size))
+        ds = self.f.create_dataset(name, shape=shape, dtype=np.float32,
+                                   fillvalue=np.nan, chunks=chunks,
+                                   maxshape=maxshape)
+        ds.attrs["batch_size"] = batch_size
+        self.f.create_dataset(f"_done/{name}", shape=done_shape,
+                              dtype=np.uint8, fillvalue=0)
+        return ds
+
+    def has(self, name: str) -> bool:
+        return name in self.f
+
+    def batch_size(self, name: str) -> int:
+        return int(self.f[name].attrs.get(
+            "batch_size", self.f[name].chunks[-1]))
+
+    # -- tile IO -----------------------------------------------------------
+    def write_tile(self, name: str, i: int, j: Optional[int],
+                   block: np.ndarray):
+        """Write one tile at element offsets (i, j); marks it complete."""
+        ds = self.f[name]
+        bs = self.batch_size(name)
+        if j is None:  # diag
+            ds[0, i:i + len(block)] = block
+            self._done(name)[i // bs] = 1
+        else:
+            ds[0, i:i + block.shape[0], j:j + block.shape[1]] = block
+            self._done(name)[i // bs, j // bs] = 1
+
+    def tile_done(self, name: str, i: int, j: Optional[int]) -> bool:
+        bs = self.batch_size(name)
+        d = self._done(name)
+        return bool(d[i // bs] if j is None else d[i // bs, j // bs])
+
+    def _done(self, name: str):
+        key = f"_done/{name}"
+        if key not in self.f:  # file written by the reference tooling
+            ds = self.f[name]
+            shape = tuple(_cdiv(s, self.batch_size(name))
+                          for s in ds.shape[1:])
+            self.f.create_dataset(key, shape=shape, dtype=np.uint8,
+                                  fillvalue=0)
+        return self.f[key]
+
+    # -- reading -----------------------------------------------------------
+    def read(self, name: str, dtype=np.float32) -> np.ndarray:
+        ds = self.f[name]
+        out = np.empty(ds.shape[1:], dtype=np.float32)
+        ds.read_direct(out, source_sel=np.s_[0, ...])
+        return out.astype(dtype, copy=False)
+
+    def dataset_names(self) -> Iterable[str]:
+        return [k for k in self.f.keys() if k != "_done"]
+
+    # -- integrity ---------------------------------------------------------
+    def missing_tiles(self, name: str,
+                      upper_triangle_only: bool = False) -> np.ndarray:
+        """[M, 2] element offsets of tiles containing NaN (scan-based, so it
+        also validates files from other writers)."""
+        ds = self.f[name]
+        bs = self.batch_size(name)
+        missing = []
+        if ds.ndim == 2:
+            for i in range(0, ds.shape[1], bs):
+                if np.isnan(ds[0, i:i + bs]).any():
+                    missing.append((i, -1))
+        else:
+            for i in range(0, ds.shape[1], bs):
+                row = ds[0, i:i + bs, :]
+                for j in range(0, ds.shape[2], bs):
+                    if upper_triangle_only and j < i:
+                        continue
+                    if np.isnan(row[:, j:j + bs]).any():
+                        missing.append((i, j))
+        return np.asarray(missing, dtype=np.int64).reshape(-1, 2)
+
+    def assert_complete(self, name: str, upper_triangle_only: bool = False):
+        miss = self.missing_tiles(name, upper_triangle_only)
+        if len(miss):
+            raise RuntimeError(
+                f"{self.path}:{name} has {len(miss)} incomplete tiles, "
+                f"first at element offset {tuple(miss[0])}; rerun assembly "
+                f"to fill them (tile-level resume will skip finished ones)")
+
+
+def merge_stores(dest_path: str, src_paths: Iterable[str]):
+    """NaN-fill merge of worker shard files into ``dest_path`` (replaces
+    exp_mnist_resnet/merge_h5_files.py:15-30).  Rows of ``dest`` that are
+    NaN take the corresponding ``src`` values."""
+    _require_h5py()
+    with h5py.File(dest_path, "a") as dest:
+        for path in src_paths:
+            with h5py.File(path, "r") as src:
+                for k in dest.keys():
+                    if k == "_done" or k not in src:
+                        continue
+                    dd, sd = dest[k], src[k]
+                    for i in range(dd.shape[0]):
+                        d = dd[i, ...]
+                        s = sd[i, ...]
+                        hole = np.isnan(d)
+                        d[hole] = s[hole]
+                        dd[i, ...] = d
+                    # merge completion bitmaps when both sides have them
+                    dk = f"_done/{k}"
+                    if dk in dest and dk in src:
+                        dest[dk][...] = np.maximum(dest[dk][...],
+                                                   src[dk][...])
+
+
+def _cdiv(a: int, b: int) -> int:
+    return (a + b - 1) // b

@@ -41,7 +41,7 @@ from .kernel_patch import KernelPatch
 from .ops import arccos, boxfilter
 
 __all__ = ["NNGPKernel", "Conv2d", "ReLU", "Sequential", "Sum", "Mixture",
-           "resnet_block", "kernel_fn", "input_patch"]
+           "resnet_block", "kernel_fn", "input_patch", "apply_kernel"]
 
 _PRECISIONS = {
     "highest": lax.Precision.HIGHEST,
@@ -107,16 +107,22 @@ def _finalize(kp: KernelPatch, n1: int, n2: int, diag: bool) -> jax.Array:
     return kp.xy.reshape(n1, n2)
 
 
+def apply_kernel(model, x, y, same, diag, diag_mask=None):
+    """Un-jitted kernel core: trace-time building block for jitted entry
+    points (kernel_fn, Gram tile sweeps, shard_map bodies)."""
+    prec = _PRECISIONS[settings.moment_precision]
+    kp = input_patch(x, y, same, diag, diag_mask, precision=prec)
+    kp = model.propagate(kp)
+    return _finalize(kp, x.shape[0], y.shape[0], diag)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("same", "diag", "has_mask", "snap"))
 def _kernel_jit(model, x, y, diag_mask, same, diag, has_mask, snap):
     del snap  # only a cache key; settings are read at trace time
-    prec = _PRECISIONS[settings.moment_precision]
-    kp = input_patch(x, y, same, diag,
-                     diag_mask if has_mask else None, precision=prec)
-    kp = model.propagate(kp)
-    return _finalize(kp, x.shape[0], y.shape[0], diag)
+    return apply_kernel(model, x, y, same, diag,
+                        diag_mask if has_mask else None)
 
 
 def kernel_fn(model, x, y=None, same=None, diag=False,

@@ -1,0 +1,143 @@
+"""GP classification solvers: Kxx^-1 Y and accuracy reporting.
+
+Rebuild of the reference's CPU LAPACK path (reference:
+exp_mnist_resnet/classify_gp.py:17-42): targets are +-1 one-hot, the train
+Gram gets ``jitter`` added to its diagonal, ``A = Kxx^-1 Y`` is solved once,
+and predictions are ``argmax(Kzx @ A)``.
+
+The reference stores only the upper triangle of Kxx and leans on
+``scipy.linalg.solve(assume_a='pos', lower=False)`` reading just that
+triangle (reference: cnn_gp/data.py:22-29 + classify_gp.py:24-27).  We make
+that contract explicit: ``symmetrize_from_upper`` mirrors the triangle
+(NaN-aware, so reference-written files work too), then any solver applies.
+
+Methods:
+
+* ``scipy``  -- float64 LAPACK ``posv`` on host; bit-parity with the
+  reference.  Requires float64 inputs for conditioning, as the reference
+  asserts (classify_gp.py:19-23).
+* ``chol``   -- ``jax.scipy`` Cholesky on the default backend in a chosen
+  dtype (float64 needs x64 / CPU).
+* ``chol_ir`` -- TPU-native large-N path: float32 Cholesky factorisation on
+  device (the O(N^3) part at MXU speed) + a few rounds of iterative
+  refinement with float64 residuals on host (the O(N^2) part), recovering
+  float64-quality solutions without float64 device math.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["one_hot_targets", "diag_add", "symmetrize_from_upper",
+           "solve_gp", "predict", "accuracy", "classify"]
+
+
+def one_hot_targets(labels: np.ndarray, n_classes: Optional[int] = None,
+                    dtype=np.float64) -> np.ndarray:
+    """+-1 one-hot targets (reference: classify_gp.py:56-59)."""
+    labels = np.asarray(labels)
+    if n_classes is None:
+        n_classes = int(labels.max()) + 1
+    y = -np.ones((len(labels), n_classes), dtype=dtype)
+    y[np.arange(len(labels)), labels] = 1.0
+    return y
+
+
+def diag_add(k: np.ndarray, jitter: float) -> None:
+    """In-place diagonal jitter (reference: classify_gp.py:30-36)."""
+    k.flat[:: k.shape[-1] + 1] += jitter
+
+
+def symmetrize_from_upper(k: np.ndarray) -> np.ndarray:
+    """Mirror the upper triangle into the lower (in place, NaN-aware).
+
+    Works both for our assembly output and for reference-written H5 files
+    whose lower triangle is NaN fill.
+    """
+    n = k.shape[0]
+    iu = np.triu_indices(n, 1)
+    k[iu[1], iu[0]] = k[iu]
+    return k
+
+
+def _solve_scipy(kxx: np.ndarray, y: np.ndarray) -> np.ndarray:
+    import scipy.linalg
+    assert kxx.dtype == np.float64 and y.dtype == np.float64, (
+        "Kxx and Y must be float64 for the inversion, even if they were "
+        "float32 when computed; this makes the solve far less likely to "
+        "fail as singular (reference: classify_gp.py:19-23)")
+    return scipy.linalg.solve(kxx, y, overwrite_a=True, overwrite_b=False,
+                              check_finite=False, assume_a="pos",
+                              lower=False)
+
+
+def _solve_chol(kxx: np.ndarray, y: np.ndarray, dtype) -> np.ndarray:
+    kxx_d = jnp.asarray(kxx, dtype)
+    y_d = jnp.asarray(y, dtype)
+    factor = jax.scipy.linalg.cho_factor(kxx_d, lower=True)
+    return np.asarray(jax.scipy.linalg.cho_solve(factor, y_d))
+
+
+def _solve_chol_ir(kxx: np.ndarray, y: np.ndarray,
+                   iters: int = 3) -> np.ndarray:
+    """float32 device factorisation + float64 host iterative refinement."""
+    kxx32 = jnp.asarray(kxx, jnp.float32)
+    factor = jax.scipy.linalg.cho_factor(kxx32, lower=True)
+
+    @jax.jit
+    def solve32(rhs32):
+        return jax.scipy.linalg.cho_solve(factor, rhs32)
+
+    kxx64 = np.asarray(kxx, np.float64)
+    y64 = np.asarray(y, np.float64)
+    a = np.asarray(solve32(jnp.asarray(y, jnp.float32)), np.float64)
+    for _ in range(iters):
+        r = y64 - kxx64 @ a                     # float64 residual on host
+        da = np.asarray(solve32(jnp.asarray(r, jnp.float32)), np.float64)
+        a = a + da
+    return a
+
+
+def solve_gp(kxx: np.ndarray, y: np.ndarray, jitter: float = 0.0,
+             method: str = "auto", refine_iters: int = 3) -> np.ndarray:
+    """Solve (Kxx + jitter*I) A = Y.  Consumes ``kxx`` (jitter in place)."""
+    if jitter != 0.0:
+        diag_add(kxx, jitter)
+    if method == "auto":
+        method = "scipy"
+    if method == "scipy":
+        return _solve_scipy(np.asarray(kxx, np.float64),
+                            np.asarray(y, np.float64))
+    if method == "chol":
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        return _solve_chol(kxx, y, dtype)
+    if method == "chol_ir":
+        return _solve_chol_ir(kxx, y, iters=refine_iters)
+    raise ValueError(f"unknown solve method {method!r}")
+
+
+def predict(kzx: np.ndarray, a: np.ndarray) -> np.ndarray:
+    """argmax(Kzx @ A) class predictions (reference: classify_gp.py:39-40)."""
+    return np.argmax(np.asarray(kzx, a.dtype) @ a, axis=1)
+
+
+def accuracy(pred: np.ndarray, labels: np.ndarray) -> float:
+    return float(np.mean(np.asarray(pred) == np.asarray(labels)))
+
+
+def classify(kxx: np.ndarray, train_labels: np.ndarray, jitter: float = 0.0,
+             method: str = "auto", **splits: Tuple[np.ndarray, np.ndarray]
+             ) -> dict:
+    """Full GP classification: solve on Kxx, report accuracy per split.
+
+    ``splits`` maps name -> (Kzx, labels).  Kxx may be upper-triangle-only.
+    """
+    kxx = symmetrize_from_upper(np.asarray(kxx, np.float64))
+    a = solve_gp(kxx, one_hot_targets(train_labels), jitter=jitter,
+                 method=method)
+    return {name: accuracy(predict(kzx, a), labels)
+            for name, (kzx, labels) in splits.items()}

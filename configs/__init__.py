@@ -1,0 +1,25 @@
+"""Model/dataset config zoo.
+
+Same two-tier config scheme as the reference (reference:
+configs/mnist.py:5-15, cnn_gp/data.py:134-140, loaded by name via importlib
+at exp_mnist_resnet/save_kernel.py:17): each config is a plain module with
+attributes
+
+    dataset_name     -- "MNIST" | "CIFAR10" | "synthetic"
+    train_range / validation_range / test_range
+                     -- index ranges into the concatenated train+test pool
+    in_channels, out_channels
+    transforms       -- list of callables applied to [N, C, W, H] arrays
+    initial_model    -- an NNGPKernel
+
+The torchvision dataset *class* attribute is replaced by ``dataset_name``
+resolution inside cnn_gp_tpu.data (no torch dependency).
+"""
+
+import importlib
+
+
+def load(name: str):
+    """Load a config module by name, mirroring the reference's
+    ``importlib.import_module(f"configs.{name}")``."""
+    return importlib.import_module(f"configs.{name}")

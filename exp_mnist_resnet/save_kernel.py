@@ -1,0 +1,53 @@
+"""Save a kernel matrix to disk.
+
+CLI-compatible rebuild of the reference driver (reference:
+exp_mnist_resnet/save_kernel.py:1-50): computes Kxx (train x train, upper
+triangle), Kxvx (validation x train), Kxtx (test x train) sharded across
+workers, and -- on rank 0 -- the Kv_diag / Kt_diag diagonals, into one HDF5
+file per worker.  Same flags, same dataset names, same shard-file layout;
+tile-level resume replaces skip-if-dataset-exists.
+"""
+
+import absl.app
+import absl.flags
+
+import configs
+from cnn_gp_tpu.data import DatasetFromConfig, GramStore
+from cnn_gp_tpu.parallel import save_K
+
+FLAGS = absl.flags.FLAGS
+
+
+def main(_):
+    n_workers, worker_rank = FLAGS.n_workers, FLAGS.worker_rank
+    config = configs.load(FLAGS.config)
+    dataset = DatasetFromConfig(FLAGS.datasets_path, config)
+    model = config.initial_model
+
+    kwargs = dict(worker_rank=worker_rank, n_workers=n_workers,
+                  batch_size=FLAGS.batch_size, print_interval=2.0)
+    with GramStore(FLAGS.out_path, "a") as f:
+        save_K(f, model, "Kxx", dataset.train, None, diag=False, **kwargs)
+        save_K(f, model, "Kxvx", dataset.validation, dataset.train,
+               diag=False, **kwargs)
+        save_K(f, model, "Kxtx", dataset.test, dataset.train,
+               diag=False, **kwargs)
+        if worker_rank == 0:
+            save_K(f, model, "Kv_diag", dataset.validation, None, diag=True,
+                   **kwargs)
+            save_K(f, model, "Kt_diag", dataset.test, None, diag=True,
+                   **kwargs)
+
+
+if __name__ == "__main__":
+    f = absl.flags
+    f.DEFINE_string("datasets_path", "/tmp/datasets",
+                    "where to load datasets from")
+    f.DEFINE_integer("batch_size", 200,
+                     "max number of examples to simultaneously compute "
+                     "the kernel of")
+    f.DEFINE_string("config", "mnist", "which config to load from `configs`")
+    f.DEFINE_integer("n_workers", 1, "num of workers")
+    f.DEFINE_integer("worker_rank", 0, "rank of worker")
+    f.DEFINE_string("out_path", None, "path of h5 file to save kernels in")
+    absl.app.run(main)

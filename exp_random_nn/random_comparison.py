@@ -1,0 +1,78 @@
+"""Monte-Carlo validation: finite random NNs vs the analytic kernel.
+
+CLI-compatible rebuild of the reference driver (reference:
+exp_random_nn/random_comparison.py:1-70): takes the first 100 training
+images, computes the analytic covariance, draws ``n_samples`` finite random
+networks via the ``model.nn()`` mirror, and writes two CSVs --
+``{channels:04d}_{seed:04d}_samples.csv`` (normalised output of example 0)
+and ``..._cov.csv`` (empirical vs analytic covariance per (i, j) pair).
+
+The reference's 10,000-iteration Python loop over fresh ``.cuda()`` modules
+becomes one vmapped, jitted sampling sweep (cnn_gp_tpu/finite.py).
+"""
+
+import os
+
+import absl.app
+import absl.flags
+import jax
+import numpy as np
+import pandas as pd
+
+import configs
+from cnn_gp_tpu import sample_nn_outputs
+from cnn_gp_tpu.data import DatasetFromConfig
+
+FLAGS = absl.flags.FLAGS
+
+
+def main(_):
+    config = configs.load(FLAGS.config)
+    dataset = DatasetFromConfig(FLAGS.datasets_path, config)
+    inputs = dataset.train.images[:100]
+    model = config.initial_model
+
+    true_cov = np.asarray(model(inputs))
+
+    r = sample_nn_outputs(model, inputs, jax.random.key(FLAGS.seed),
+                          n_samples=FLAGS.n_samples,
+                          channels=FLAGS.channels,
+                          in_channels=config.in_channels,
+                          out_channels=1)
+    r = np.asarray(r)                       # [S, N]
+
+    os.makedirs(FLAGS.out_path, exist_ok=True)
+    samples_output_filename = os.path.join(
+        FLAGS.out_path, f"{FLAGS.channels:04d}_{FLAGS.seed:04d}_samples.csv")
+    pd.DataFrame({
+        "r0": r[:, 0] / np.sqrt(true_cov[0, 0]),
+    }).to_csv(samples_output_filename, index=False)
+
+    ni = inputs.shape[0]
+    i = np.arange(ni) * np.ones([ni, 1])
+    j = i.T
+    est_cov = r.T @ r / FLAGS.n_samples
+
+    cov_output_filename = os.path.join(
+        FLAGS.out_path, f"{FLAGS.channels:04d}_{FLAGS.seed:04d}_cov.csv")
+    pd.DataFrame({
+        "i": i.ravel(),
+        "j": j.ravel(),
+        "est": est_cov.ravel(),
+        "true": true_cov.ravel(),
+    }).to_csv(cov_output_filename, index=False)
+
+
+if __name__ == "__main__":
+    f = absl.flags
+    f.DEFINE_string("datasets_path", "/tmp/datasets",
+                    "where to load datasets from")
+    f.DEFINE_string("out_path", None,
+                    "where to save the drawn outputs of the NN and kernel")
+    f.DEFINE_string("config", "cifar10", "which config to load from `configs`")
+    f.DEFINE_integer("seed", 1, "the random seed")
+    f.DEFINE_integer("channels", 30,
+                     "the number of channels of the random finite NNs")
+    f.DEFINE_integer("n_samples", 10000,
+                     "Number of samples to draw from the NN")
+    absl.app.run(main)

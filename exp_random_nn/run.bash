@@ -1,0 +1,20 @@
+#!/usr/bin/env bash
+# Finite-NN convergence experiment (rebuild of reference exp_random_nn/
+# run.bash): loop configs x channel widths {3, 10, 30, 100}, then plot.
+set -e
+
+DATASETS=${DATASETS:-/tmp/datasets}
+OUT_ROOT=${OUT_ROOT:-/tmp/random_nn}
+N_SAMPLES=${N_SAMPLES:-10000}
+
+for config in cifar10 mnist_paper_convnet_gp mnist_paper_residual_cnn_gp; do
+    out="$OUT_ROOT/$config"
+    mkdir -p "$out"
+    for channels in 3 10 30 100; do
+        python -m exp_random_nn.random_comparison \
+            --config="$config" --datasets_path="$DATASETS" \
+            --channels="$channels" --n_samples="$N_SAMPLES" \
+            --out_path="$out"
+    done
+    python -m exp_random_nn.random_plot "$out" "$out/convergence.pdf"
+done

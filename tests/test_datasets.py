@@ -1,0 +1,108 @@
+"""Dataset loading tests: IDX parsing, concat-then-split semantics,
+synthetic data."""
+
+import gzip
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from cnn_gp_tpu.data import datasets
+
+
+def _write_idx_images(path, arr):
+    with open(path, "wb") as f:
+        f.write(struct.pack(">HBB", 0, 0x08, 3))
+        f.write(struct.pack(">III", *arr.shape))
+        f.write(arr.astype(np.uint8).tobytes())
+
+
+def _write_idx_labels(path, arr):
+    with open(path, "wb") as f:
+        f.write(struct.pack(">HBB", 0, 0x08, 1))
+        f.write(struct.pack(">I", len(arr)))
+        f.write(arr.astype(np.uint8).tobytes())
+
+
+@pytest.fixture()
+def fake_mnist(tmp_path):
+    raw = tmp_path / "MNIST" / "MNIST" / "raw"
+    raw.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    tr = rng.randint(0, 256, (20, 28, 28), np.uint8)
+    te = rng.randint(0, 256, (10, 28, 28), np.uint8)
+    _write_idx_images(raw / "train-images-idx3-ubyte", tr)
+    _write_idx_labels(raw / "train-labels-idx1-ubyte",
+                      np.arange(20) % 10)
+    _write_idx_images(raw / "t10k-images-idx3-ubyte", te)
+    _write_idx_labels(raw / "t10k-labels-idx1-ubyte", np.arange(10) % 10)
+    return str(tmp_path), tr, te
+
+
+def test_mnist_idx_roundtrip(fake_mnist):
+    root, tr, te = fake_mnist
+    tr_x, tr_y, te_x, te_y = datasets.load_mnist_arrays(
+        os.path.join(root, "MNIST"))
+    assert tr_x.shape == (20, 1, 28, 28) and te_x.shape == (10, 1, 28, 28)
+    np.testing.assert_allclose(tr_x[:, 0] * 255.0, tr, atol=1e-5)
+    np.testing.assert_array_equal(tr_y, np.arange(20) % 10)
+
+
+def test_gzipped_idx(tmp_path):
+    rng = np.random.RandomState(1)
+    arr = rng.randint(0, 256, (5, 4, 4), np.uint8)
+    plain = tmp_path / "imgs"
+    _write_idx_images(plain, arr)
+    gz = tmp_path / "only.gz"
+    with open(plain, "rb") as f, gzip.open(str(gz)[:-3] + ".gz", "wb") as g:
+        g.write(f.read())
+    got = datasets._read_idx(str(gz)[:-3])
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_concat_then_split_semantics(fake_mnist):
+    """test_range indexing past the train pool must reach test images
+    (reference: cnn_gp/data.py:147-158)."""
+    root, tr, te = fake_mnist
+
+    class Cfg:
+        dataset_name = "MNIST"
+        train_range = range(0, 15)
+        validation_range = range(15, 20)
+        test_range = range(20, 30)   # past 20-image train set
+        transforms = []
+        in_channels = 1
+
+    ds = datasets.DatasetFromConfig(root, Cfg)
+    assert len(ds.train) == 15 and len(ds.validation) == 5
+    assert len(ds.test) == 10
+    np.testing.assert_allclose(ds.test.images[:, 0] * 255.0, te, atol=1e-5)
+
+
+def test_synthetic_dataset_learnable():
+    tr_x, tr_y, _, _ = datasets.synthetic_arrays(n_train=100)
+    assert tr_x.shape == (100, 1, 28, 28)
+    # same-class examples are closer than cross-class on average
+    d_same, d_diff, n = 0.0, 0.0, 0
+    for c in range(3):
+        a = tr_x[tr_y == c][:3]
+        b = tr_x[tr_y == (c + 1) % 10][:3]
+        d_same += np.linalg.norm(a[0] - a[1])
+        d_diff += np.linalg.norm(a[0] - b[0])
+    assert d_same < d_diff
+
+
+def test_transforms_applied(fake_mnist):
+    root, _, _ = fake_mnist
+
+    class Cfg:
+        dataset_name = "MNIST"
+        train_range = range(0, 10)
+        validation_range = range(10, 15)
+        test_range = range(15, 20)
+        transforms = [lambda x: x * 2.0]
+        in_channels = 1
+
+    ds = datasets.DatasetFromConfig(root, Cfg)
+    assert ds.train.images.max() > 1.0

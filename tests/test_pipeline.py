@@ -1,0 +1,63 @@
+"""End-to-end pipeline test through the real CLI drivers: save_kernel ->
+merge -> classify on the synthetic config (the reference's run.bash flow,
+reference: exp_mnist_resnet/run.bash:21-49)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(args, **env):
+    e = dict(os.environ)
+    e.update(env)
+    return subprocess.run([sys.executable, "-m", *args], cwd=REPO,
+                          capture_output=True, text=True, env=e, timeout=600)
+
+
+@pytest.mark.slow
+def test_full_pipeline_synthetic(tmp_path):
+    out0 = str(tmp_path / "00_nw02.h5")
+    out1 = str(tmp_path / "01_nw02.h5")
+    common = ["--config=synthetic", f"--datasets_path={tmp_path}",
+              "--batch_size=128"]
+    for rank, path in [(0, out0), (1, out1)]:
+        r = run(["exp_mnist_resnet.save_kernel", *common,
+                 "--n_workers=2", f"--worker_rank={rank}",
+                 f"--out_path={path}"])
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    r = run(["exp_mnist_resnet.merge_h5_files", out0, out1])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r = run(["exp_mnist_resnet.classify_gp", "--config=synthetic",
+             f"--datasets_path={tmp_path}", f"--in_path={out0}",
+             "--jitter=1e-6", "--solver=chol_ir"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    accs = {}
+    for line in r.stdout.splitlines():
+        if "accuracy:" in line:
+            key = line.split()[0]
+            accs[key] = float(line.split(":")[1].strip().rstrip("%"))
+    assert accs, r.stdout
+    # synthetic prototype task is nearly separable
+    assert accs["validation"] > 90.0, accs
+    assert accs["test"] > 90.0, accs
+
+
+@pytest.mark.slow
+def test_random_comparison_driver(tmp_path):
+    r = run(["exp_random_nn.random_comparison", "--config=synthetic",
+             f"--datasets_path={tmp_path}", f"--out_path={tmp_path}",
+             "--channels=16", "--n_samples=200", "--seed=1"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    import pandas as pd
+    cov = pd.read_csv(tmp_path / "0016_0001_cov.csv")
+    assert {"i", "j", "est", "true"} <= set(cov.columns)
+    # loose agreement even at 200 samples / width 16
+    corr = np.corrcoef(cov["est"], cov["true"])[0, 1]
+    assert corr > 0.5, corr
