@@ -1,0 +1,151 @@
+"""Mesh-sharded Gram assembly: shard_map sweep over the tile grid.
+
+Multi-chip replacement for the reference's process-per-GPU sharding
+(reference: cnn_gp/data.py:11-19 + run.bash:27-43).  The dataset is
+replicated across the mesh (MNIST-scale inputs are small); the upper
+triangle tile manifest is dealt **round-robin** over the tile axis so every
+device gets the same tile count (lockstep SPMD wants equal work, unlike the
+reference's contiguous spans whose triangle rows shrink), and each device
+scans its tiles with `lax.scan`, dynamic-slicing its (row, col) batches out
+of the replicated data.  One compiled program serves diagonal and
+off-diagonal tiles via the global-index diag mask.
+
+Large sweeps are chunked into rounds so the stacked per-round output
+([n_tiles, b, b]) stays bounded; rounds stream back to the host/store
+while the next round computes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .. import settings
+from ..kernels import apply_kernel
+from ..utils.timing import print_timings
+from . import scheduler
+from .mesh import TILE_AXIS, make_mesh
+
+__all__ = ["compute_gram_sharded"]
+
+
+def _sweep_fn(model, b, symmetric, snap, axis_name):
+    """Build the per-device tile sweep for shard_map."""
+    del snap
+
+    def sweep(x_all, z_all, tiles):  # tiles: [t_local, 2] element offsets
+        def body(_, tile):
+            i0, j0 = tile[0], tile[1]
+            x = lax.dynamic_slice_in_dim(x_all, i0, b)
+            z = lax.dynamic_slice_in_dim(z_all, j0, b)
+            mask = None
+            if symmetric:
+                # same-example entries only exist on the Gram diagonal
+                rows = i0 + jnp.arange(b)
+                cols = j0 + jnp.arange(b)
+                mask = rows[:, None] == cols[None, :]
+            return None, apply_kernel(model, x, z, False, False, mask)
+
+        _, blocks = lax.scan(body, None, tiles)
+        return blocks  # [t_local, b, b]
+
+    return sweep
+
+
+def compute_gram_sharded(model, X, Z=None, *, batch_size: int = 200,
+                         mesh: Optional[Mesh] = None,
+                         store=None, name: Optional[str] = None,
+                         out: Optional[np.ndarray] = None,
+                         symmetrize_out: bool = True,
+                         tiles_per_round_per_device: int = 8,
+                         progress: bool = True,
+                         print_interval: float = 2.0):
+    """Assemble a Gram matrix with the tile grid sharded over a mesh.
+
+    Returns the ``out`` array if used (NaN-free, symmetrised), else None;
+    results also stream to ``store[name]`` when given.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+
+    symmetric = Z is None
+    n1 = len(X)
+    n2 = n1 if symmetric else len(Z)
+    b = batch_size
+
+    manifest = scheduler.worker_manifest(n1, n2, b, symmetric,
+                                         order="contiguous")
+    offsets = manifest[:, 1:3].astype(np.int32) * b  # [T, 2] element offsets
+    n_tiles = len(offsets)
+
+    if store is not None:
+        assert name is not None
+        store.create(name, n1, n2, b)
+        keep = [k for k in range(n_tiles)
+                if not store.tile_done(name, int(offsets[k, 0]),
+                                       int(offsets[k, 1]))]
+        offsets = offsets[keep]
+        n_tiles = len(offsets)
+    if out is None and store is None:
+        out = np.full((n1, n2), np.nan, np.float32)
+
+    x_np = _pad_to_multiple(np.asarray(X, np.float32), b)
+    z_np = x_np if symmetric else _pad_to_multiple(
+        np.asarray(Z, np.float32), b)
+
+    sweep = jax.jit(jax.shard_map(
+        _sweep_fn(model, b, symmetric, settings.snapshot(), axis),
+        mesh=mesh, in_specs=(P(), P(), P(axis)), out_specs=P(axis)))
+
+    round_tiles = n_dev * tiles_per_round_per_device
+    rounds = range(0, n_tiles, round_tiles)
+    if progress:
+        rounds = print_timings(iter(list(rounds)), desc=name or "gram[mesh]",
+                               print_interval=print_interval,
+                               total=len(range(0, n_tiles, round_tiles)))
+
+    def write(i0, j0, block):
+        ni, nj = min(b, n1 - i0), min(b, n2 - j0)
+        block = block[:ni, :nj]
+        if store is not None:
+            store.write_tile(name, i0, j0, block)
+        if out is not None:
+            out[i0:i0 + ni, j0:j0 + nj] = block
+            if symmetric and symmetrize_out and i0 != j0:
+                out[j0:j0 + nj, i0:i0 + ni] = block.T
+
+    for r0 in rounds:
+        chunk = offsets[r0:r0 + round_tiles]
+        n_valid = len(chunk)
+        # pad to a multiple of n_dev; padded tiles recompute tile 0 and are
+        # dropped on write (every device must run the same tile count)
+        pad = (-n_valid) % n_dev
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[:1], pad, 0)])
+        # deal round-robin: device d gets chunk[d::n_dev]
+        per_dev = chunk.reshape(-1, n_dev, 2).transpose(1, 0, 2)
+        blocks = sweep(jnp.asarray(x_np), jnp.asarray(z_np),
+                       jnp.asarray(per_dev.reshape(-1, 2)))
+        blocks = np.asarray(blocks)  # [n_dev * t_local, b, b]
+        # undo the deal: global order is interleaved back
+        t_local = per_dev.shape[1]
+        blocks = blocks.reshape(n_dev, t_local, b, b).transpose(1, 0, 2, 3)
+        blocks = blocks.reshape(-1, b, b)[:n_valid]
+        for (i0, j0), blk in zip(chunk[:n_valid], blocks):
+            write(int(i0), int(j0), blk)
+    return out
+
+
+def _pad_to_multiple(x: np.ndarray, b: int) -> np.ndarray:
+    rem = (-len(x)) % b
+    if rem == 0:
+        return x
+    return np.concatenate([x, np.zeros((rem,) + x.shape[1:], x.dtype)])

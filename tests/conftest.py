@@ -19,6 +19,11 @@ if os.environ["CNN_GP_TPU_TEST_BACKEND"] == "cpu":
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
+    # Some environments pre-import jax at interpreter startup (e.g. a
+    # sitecustomize registering a TPU plugin), which freezes env-derived
+    # config before this file runs; the config API still works.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
