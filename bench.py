@@ -29,9 +29,9 @@ import numpy as np
 # 32x32 mnist_as_tf tile in 725 ms => 1,413 entries/s.  See BASELINE.md.
 REFERENCE_ENTRIES_PER_SEC = 1413.0
 
-BATCH = 200
+BATCH = 128  # autotuned: pair dim 128*128 aligns with the lane width (BASELINE.md)
 N_WARM = 2
-N1, N2 = 4, 16
+N1, N2 = 6, 18
 
 
 def main():

@@ -169,7 +169,13 @@ def _relu_pallas(kp: KernelPatch, interpret: bool = False) -> KernelPatch:
 def relu_transform(kp: KernelPatch, method: str = DEFAULT_METHOD
                    ) -> KernelPatch:
     if method == "auto":
-        method = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # Measured on TPU v5e (see BASELINE.md): the XLA lowering wins for
+        # the *standalone* transform because jnp code fuses into the
+        # surrounding conv chain, while a pallas_call is a fusion barrier
+        # that forces the [Nx, Ny, W, H] tensor through HBM on both sides.
+        # The Pallas path pays off only inside the fully-fused network
+        # kernel (ops/fused.py), which calls the kernel body directly.
+        method = "xla"
     if method == "xla":
         return _relu_xla(kp)
     if method == "pallas":
