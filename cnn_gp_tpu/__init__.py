@@ -7,16 +7,29 @@ infinitely-wide CNNs, blockwise Gram assembly, GP classification, and
 finite-width Monte-Carlo validation -- redesigned for TPU meshes.
 """
 
+import os as _os
+
+# Honour JAX_PLATFORMS even where a sitecustomize pre-imports jax and
+# freezes env-derived config before user code runs (see tests/conftest.py).
+if "JAX_PLATFORMS" in _os.environ:
+    try:
+        import jax as _jax
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover - best effort
+        pass
+
 from .kernel_patch import KernelPatch
 from .kernels import (NNGPKernel, Conv2d, ReLU, Sequential, Sum, Mixture,
                       resnet_block, kernel_fn, input_patch)
 from .finite import FiniteNet, sample_nn_outputs
 from . import settings
+from . import fit as fit_lib
+from .fit import fit, neg_marginal_log_likelihood
 
 __all__ = [
     "KernelPatch", "NNGPKernel", "Conv2d", "ReLU", "Sequential", "Sum",
     "Mixture", "resnet_block", "kernel_fn", "input_patch", "FiniteNet",
-    "sample_nn_outputs", "settings",
+    "sample_nn_outputs", "settings", "fit", "neg_marginal_log_likelihood",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,70 @@
+"""Kernel hyperparameter learning.
+
+The reference exposes exactly one trainable parameter -- ``Mixture.logit``
+(reference: cnn_gp/kernels.py:212-219) -- but ships no code that optimises
+it.  Because our layers are pytrees whose leaves are ordinary JAX arrays,
+the whole kernel is differentiable end to end; this module supplies the
+missing training loop: type-II maximum likelihood (marginal-likelihood
+maximisation) with optax.
+
+    model, losses = fit(model, x, y_onehot, steps=100)
+
+Only array leaves (e.g. every Mixture's logits) receive gradients; the
+static architecture is untouched.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kernels import apply_kernel
+
+__all__ = ["neg_marginal_log_likelihood", "fit"]
+
+
+def neg_marginal_log_likelihood(model, x: jax.Array, y: jax.Array,
+                                jitter: float = 1e-6) -> jax.Array:
+    """Negative GP marginal log-likelihood of targets ``y`` [N, C] under
+    the model's kernel on inputs ``x`` [N, C, W, H] (per-target-dim sum,
+    constants dropped).  Differentiable in the model's array leaves."""
+    k = apply_kernel(model, x, x, True, False)
+    # scale-normalise for conditioning; equivalent up to a constant shift
+    s = jnp.mean(jnp.diagonal(k))
+    k = k / s + jitter * jnp.eye(k.shape[0], dtype=k.dtype)
+    chol = jnp.linalg.cholesky(k)
+    alpha = jax.scipy.linalg.cho_solve((chol, True), y)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+    return 0.5 * jnp.sum(y * alpha) + 0.5 * y.shape[1] * logdet
+
+
+def fit(model, x, y, steps: int = 50, learning_rate: float = 0.1,
+        jitter: float = 1e-6,
+        loss_fn: Optional[Callable] = None) -> Tuple[object, np.ndarray]:
+    """Optimise the model's array leaves (e.g. Mixture logits) by gradient
+    descent on the marginal likelihood.  Returns (fitted_model, losses)."""
+    import optax
+
+    if loss_fn is None:
+        loss_fn = functools.partial(neg_marginal_log_likelihood,
+                                    x=jnp.asarray(x, jnp.float32),
+                                    y=jnp.asarray(y, jnp.float32),
+                                    jitter=jitter)
+    opt = optax.adam(learning_rate)
+
+    @jax.jit
+    def step(model, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(model)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(model, updates), opt_state, loss
+
+    opt_state = opt.init(model)
+    losses = []
+    for _ in range(steps):
+        model, opt_state, loss = step(model, opt_state)
+        losses.append(float(loss))
+    return model, np.asarray(losses)

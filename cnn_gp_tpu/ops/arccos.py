@@ -80,6 +80,8 @@ def _xy_update(xy, xx_yy, acos_fn):
 # ---------------------------------------------------------------------------
 
 def _relu_xla(kp: KernelPatch) -> KernelPatch:
+    from .. import settings
+    acos_fn = acos_f32 if settings.acos_impl == "poly" else jnp.arccos
     xx_half = kp.xx * 0.5
     if kp.diag:
         if kp.same:
@@ -87,11 +89,11 @@ def _relu_xla(kp: KernelPatch) -> KernelPatch:
             # (cnn_gp/kernels.py:157-158).
             return KernelPatch(xx_half, xx_half, xx_half, kp.same, kp.diag)
         xx_yy = kp.xx * kp.yy + F32_TINY
-        xy = _xy_update(kp.xy, xx_yy, jnp.arccos)
+        xy = _xy_update(kp.xy, xx_yy, acos_fn)
         return KernelPatch(xy, xx_half, kp.yy * 0.5, kp.same, kp.diag)
 
     xx_yy = kp.xx[:, None] * kp.yy[None, :] + F32_TINY
-    xy = _xy_update(kp.xy, xx_yy, jnp.arccos)
+    xy = _xy_update(kp.xy, xx_yy, acos_fn)
     mask = kp.resolve_diag_mask()
     if mask is not None:
         # Same-example entries must equal xx' exactly

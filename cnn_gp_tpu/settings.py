@@ -13,12 +13,16 @@ import contextlib
 conv_method = "separable"
 # ReLU arccos transform lowering: auto | xla | pallas | pallas_interpret.
 relu_method = "auto"
+# arccos implementation inside the ReLU transform: "poly" (Cephes-style
+# polynomial, ~15 fused VPU ops, abs err < 5e-7) | "exact" (jnp.arccos,
+# which XLA lowers through atan2 -- several times more VPU work).
+acos_impl = "poly"
 # Contraction precision for the input second-moment einsum.
 moment_precision = "highest"
 
 
 def snapshot():
-    return (conv_method, relu_method, moment_precision)
+    return (conv_method, relu_method, acos_impl, moment_precision)
 
 
 @contextlib.contextmanager
