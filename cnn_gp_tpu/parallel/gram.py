@@ -38,10 +38,7 @@ from . import scheduler
 __all__ = ["compute_gram", "compute_gram_diag", "save_K", "gram_in_memory"]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("b", "symmetric", "snap"))
-def _tile_jit(model, x_all, z_all, i0, j0, b, symmetric, snap):
-    del snap
+def _tile_body(model, x_all, z_all, i0, j0, b, symmetric):
     x = lax.dynamic_slice_in_dim(x_all, i0, b)
     z = lax.dynamic_slice_in_dim(z_all, j0, b)
     mask = None
@@ -50,6 +47,32 @@ def _tile_jit(model, x_all, z_all, i0, j0, b, symmetric, snap):
         cols = j0 + jnp.arange(b)
         mask = rows[:, None] == cols[None, :]
     return apply_kernel(model, x, z, False, False, mask)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("b", "symmetric", "snap"))
+def _tile_jit(model, x_all, z_all, i0, j0, b, symmetric, snap):
+    del snap
+    return _tile_body(model, x_all, z_all, i0, j0, b, symmetric)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("b", "symmetric", "snap"))
+def _round_jit(model, x_all, z_all, offsets, b, symmetric, snap):
+    """Scan a whole round of tiles on device, returning [R, b, b].
+
+    One host fetch then retrieves the entire round -- on tunneled/remote
+    TPU runtimes a per-tile fetch pays a full round trip, which at ~3 ms
+    of compute per tile dominates end-to-end assembly throughput.
+    """
+    del snap
+
+    def body(_, off):
+        return None, _tile_body(model, x_all, z_all, off[0], off[1], b,
+                                symmetric)
+
+    _, blocks = lax.scan(body, None, offsets)
+    return blocks
 
 
 @functools.partial(jax.jit, static_argnames=("b", "symmetric", "snap"))
@@ -69,23 +92,46 @@ def _pad_to_multiple(x: np.ndarray, b: int) -> np.ndarray:
     return np.concatenate([x, pad])
 
 
-class _WriteQueue:
-    """Bounded queue of in-flight device results; overlaps device compute
-    with host writes."""
+def check_block_finite(block: np.ndarray, i0: int, j0: int):
+    """Refuse to persist NaN/Inf Gram entries.
 
-    def __init__(self, write, depth: int = 4):
+    The reference drops into an interactive ipdb session here (reference:
+    cnn_gp/kernel_save_tools.py:51-53); in an unattended TPU fleet we fail
+    fast instead -- the tile stays unwritten, so a rerun recomputes exactly
+    the bad tile.
+    """
+    if not np.isfinite(block).all():
+        bad = np.argwhere(~np.isfinite(block))[0]
+        raise FloatingPointError(
+            f"non-finite kernel value at Gram element "
+            f"({i0 + bad[0]}, {j0 + bad[1]}); tile ({i0}, {j0}) not "
+            f"written. Check var_weight/var_bias scales or input data.")
+
+
+class _WriteQueue:
+    """Bounded queue of in-flight device rounds; overlaps device compute
+    with host fetches + writes."""
+
+    def __init__(self, write, n1, n2, b, depth: int = 2):
         self.write = write
+        self.n1, self.n2, self.b = n1, n2, b
         self.depth = depth
         self.pending = []
 
-    def push(self, item):
-        self.pending.append(item)
+    def push(self, offsets, n_valid, dev_stack):
+        self.pending.append((offsets, n_valid, dev_stack))
         while len(self.pending) > self.depth:
             self._drain_one()
 
     def _drain_one(self):
-        i0, j0, ni, nj, dev = self.pending.pop(0)
-        self.write(i0, j0, np.asarray(dev)[:ni, :nj])
+        offsets, n_valid, dev_stack = self.pending.pop(0)
+        blocks = np.asarray(dev_stack)  # one fetch for the whole round
+        for (i0, j0), blk in zip(offsets[:n_valid], blocks):
+            i0, j0 = int(i0), int(j0)
+            block = blk[:min(self.b, self.n1 - i0),
+                        :min(self.b, self.n2 - j0)]
+            check_block_finite(block, i0, j0)
+            self.write(i0, j0, block)
 
     def flush(self):
         while self.pending:
@@ -97,7 +143,8 @@ def compute_gram(model, X, Z=None, *, batch_size: int = 200,
                  worker_rank: int = 0, n_workers: int = 1,
                  order: str = "contiguous", out: Optional[np.ndarray] = None,
                  symmetrize_out: bool = True, progress: bool = True,
-                 print_interval: float = 2.0, desc: Optional[str] = None):
+                 print_interval: float = 2.0, desc: Optional[str] = None,
+                 tiles_per_round: int = 32):
     """Assemble a Gram matrix blockwise.
 
     Z=None computes the symmetric upper triangle of K(X, X) (the layout the
@@ -136,17 +183,24 @@ def compute_gram(model, X, Z=None, *, batch_size: int = 200,
             if symmetric and symmetrize_out and i0 != j0:
                 out[j0:j0 + block.shape[1], i0:i0 + block.shape[0]] = block.T
 
-    queue = _WriteQueue(write)
-    it = iter(manifest)
+    queue = _WriteQueue(write, n1, n2, b)
+    offsets_all = manifest[:, 1:3].astype(np.int64) * b
+    r = max(1, int(tiles_per_round))
+    starts = list(range(0, len(offsets_all), r))
+    it = iter(starts)
     if progress:
-        it = print_timings(it, desc=desc or (name or "gram"),
-                           print_interval=print_interval,
-                           total=len(manifest))
+        it = print_timings(it, desc=f"{desc or name or 'gram'} (x{r} tiles)",
+                           print_interval=print_interval, total=len(starts))
     snap = settings.snapshot()
-    for _, ti, tj in it:
-        i0, j0 = int(ti) * b, int(tj) * b
-        dev = _tile_jit(model, x_all, z_all, i0, j0, b, symmetric, snap)
-        queue.push((i0, j0, min(b, n1 - i0), min(b, n2 - j0), dev))
+    for r0 in it:
+        chunk = offsets_all[r0:r0 + r]
+        n_valid = len(chunk)
+        if n_valid < r:  # pad so one program serves every round
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], r - n_valid, axis=0)])
+        dev = _round_jit(model, x_all, z_all,
+                         jnp.asarray(chunk, jnp.int32), b, symmetric, snap)
+        queue.push(chunk, n_valid, dev)
     queue.flush()
     return out
 
@@ -181,6 +235,7 @@ def compute_gram_diag(model, X, Z=None, *, batch_size: int = 200,
     for i0 in offsets:
         dev = _diag_tile_jit(model, x_all, z_all, i0, b, symmetric, snap)
         block = np.asarray(dev)[:min(b, n - i0)]
+        check_block_finite(block[:, None], i0, 0)
         out[i0:i0 + len(block)] = block
         if store is not None:
             store.write_tile(name, i0, None, block)

@@ -29,7 +29,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .. import settings
 from ..kernels import apply_kernel
 from ..utils.timing import print_timings
-from . import scheduler
+from . import gram, scheduler
 from .mesh import TILE_AXIS, make_mesh
 
 __all__ = ["compute_gram_sharded"]
@@ -115,6 +115,7 @@ def compute_gram_sharded(model, X, Z=None, *, batch_size: int = 200,
     def write(i0, j0, block):
         ni, nj = min(b, n1 - i0), min(b, n2 - j0)
         block = block[:ni, :nj]
+        gram.check_block_finite(block, i0, j0)
         if store is not None:
             store.write_tile(name, i0, j0, block)
         if out is not None:

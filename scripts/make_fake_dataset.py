@@ -1,0 +1,84 @@
+"""Generate synthetic datasets in the real on-disk formats.
+
+This environment has no network egress, so the true MNIST/CIFAR-10 files
+cannot be downloaded.  This tool writes *synthetic* data in the exact
+formats the loaders consume (MNIST IDX, CIFAR-10 pickle batches) so the
+full real-data pipeline -- IDX parsing, concat-then-split, the paper
+configs, multi-worker Gram assembly, solve -- can be rehearsed end to end
+at any scale.
+
+Usage:
+    python -m scripts.make_fake_dataset mnist  <datasets_path> [n_train n_test]
+    python -m scripts.make_fake_dataset cifar10 <datasets_path>
+"""
+
+import os
+import pickle
+import struct
+import sys
+
+import numpy as np
+
+
+def _idx_images(path, arr):
+    with open(path, "wb") as f:
+        f.write(struct.pack(">HBB", 0, 0x08, 3))
+        f.write(struct.pack(">III", *arr.shape))
+        f.write(arr.tobytes())
+
+
+def _idx_labels(path, arr):
+    with open(path, "wb") as f:
+        f.write(struct.pack(">HBB", 0, 0x08, 1))
+        f.write(struct.pack(">I", len(arr)))
+        f.write(arr.astype(np.uint8).tobytes())
+
+
+def _digits(n, side, seed):
+    """Digit-like images: class prototype blobs + noise, uint8."""
+    rng = np.random.RandomState(seed)
+    protos = (rng.rand(10, side, side) ** 2 * 255).astype(np.float32)
+    y = rng.randint(0, 10, n)
+    x = protos[y] * (0.6 + 0.4 * rng.rand(n, 1, 1))
+    x += 30 * rng.randn(n, side, side)
+    return np.clip(x, 0, 255).astype(np.uint8), y.astype(np.int64)
+
+
+def make_mnist(root, n_train=60000, n_test=10000):
+    raw = os.path.join(root, "MNIST", "MNIST", "raw")
+    os.makedirs(raw, exist_ok=True)
+    tr_x, tr_y = _digits(n_train, 28, seed=1)
+    te_x, te_y = _digits(n_test, 28, seed=2)
+    _idx_images(os.path.join(raw, "train-images-idx3-ubyte"), tr_x)
+    _idx_labels(os.path.join(raw, "train-labels-idx1-ubyte"), tr_y)
+    _idx_images(os.path.join(raw, "t10k-images-idx3-ubyte"), te_x)
+    _idx_labels(os.path.join(raw, "t10k-labels-idx1-ubyte"), te_y)
+    print(f"wrote fake MNIST ({n_train}+{n_test}) under {raw}")
+
+
+def make_cifar10(root):
+    d = os.path.join(root, "CIFAR10", "cifar-10-batches-py")
+    os.makedirs(d, exist_ok=True)
+    for i in range(1, 6):
+        x, y = _digits(10000, 32, seed=10 + i)
+        data = np.repeat(x[:, None], 3, axis=1).reshape(10000, -1)
+        with open(os.path.join(d, f"data_batch_{i}"), "wb") as f:
+            pickle.dump({"data": data, "labels": y.tolist()}, f)
+    x, y = _digits(10000, 32, seed=99)
+    data = np.repeat(x[:, None], 3, axis=1).reshape(10000, -1)
+    with open(os.path.join(d, "test_batch"), "wb") as f:
+        pickle.dump({"data": data, "labels": y.tolist()}, f)
+    print(f"wrote fake CIFAR-10 under {d}")
+
+
+if __name__ == "__main__":
+    kind = sys.argv[1]
+    root = sys.argv[2]
+    if kind == "mnist":
+        n_train = int(sys.argv[3]) if len(sys.argv) > 3 else 60000
+        n_test = int(sys.argv[4]) if len(sys.argv) > 4 else 10000
+        make_mnist(root, n_train, n_test)
+    elif kind == "cifar10":
+        make_cifar10(root)
+    else:
+        raise SystemExit(f"unknown dataset kind {kind!r}")
