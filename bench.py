@@ -21,6 +21,7 @@ Prints one JSON line:
 """
 
 import json
+import signal
 import time
 
 import numpy as np
@@ -34,7 +35,27 @@ N_WARM = 2
 N1, N2 = 6, 18
 
 
-def main():
+class _Watchdog:
+    """Abort a stalled attempt (the tunneled TPU runtime occasionally hangs
+    for minutes) so a retry can still produce the JSON line."""
+
+    def __init__(self, seconds):
+        self.seconds = seconds
+
+    def __enter__(self):
+        def _raise(signum, frame):
+            raise TimeoutError(f"bench attempt stalled > {self.seconds}s")
+        self._old = signal.signal(signal.SIGALRM, _raise)
+        signal.alarm(self.seconds)
+        return self
+
+    def __exit__(self, *exc):
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, self._old)
+        return False
+
+
+def _measure():
     import jax
     import configs
     from cnn_gp_tpu import settings
@@ -59,7 +80,22 @@ def main():
     t1 = run(N1)
     t2 = run(N2)
     per_tile = (t2 - t1) / (N2 - N1)
-    value = BATCH * BATCH / per_tile
+    return BATCH * BATCH / per_tile
+
+
+def main():
+    value = None
+    for attempt, budget in enumerate((420, 420, 600)):
+        try:
+            with _Watchdog(budget):
+                value = _measure()
+            break
+        except TimeoutError as e:
+            import sys
+            print(f"bench attempt {attempt}: {e}", file=sys.stderr,
+                  flush=True)
+    if value is None:
+        raise SystemExit("bench: all attempts stalled")
     print(json.dumps({
         "metric": "gram_entries_per_sec_per_chip_resnet32_gp",
         "value": round(value, 1),

@@ -79,6 +79,26 @@ def _xy_update(xy, xx_yy, acos_fn):
 # XLA lowering
 # ---------------------------------------------------------------------------
 
+def _xy_update_factored(xy, xx, yy, acos_fn):
+    """Same map with per-row/per-column factors hoisted out of the pair
+    grid: rsqrt and sqrt run on O((Nx+Ny)*S) elements instead of
+    O(Nx*Ny*S), and sin(theta) is recovered from cos(theta).  Deviates
+    from the reference's rounding by ~1 ulp (covered by the 1e-5 parity
+    suite); disable with settings.relu_impl="reference"."""
+    r_xx = jax.lax.rsqrt(xx + F32_TINY)[:, None]
+    r_yy = jax.lax.rsqrt(yy + F32_TINY)[None, :]
+    s_xx = jnp.sqrt(xx + F32_TINY)[:, None]
+    s_yy = jnp.sqrt(yy + F32_TINY)[None, :]
+    # (r_xx * r_yy) first: the factor is symmetric under (i, j) swap, so
+    # Gram tiles stay *exactly* symmetric (a*b == b*a in IEEE; a chained
+    # xy*r_xx*r_yy would associate differently across the diagonal)
+    cos_theta = jnp.clip(xy * (r_xx * r_yy), -1.0, 1.0)
+    sin_theta = (s_xx * s_yy) * jnp.sqrt(
+        jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    pi_minus_theta = acos_fn(-cos_theta)   # acos(-c) = pi - acos(c)
+    return (sin_theta + pi_minus_theta * xy) * (0.5 / math.pi)
+
+
 def _relu_xla(kp: KernelPatch) -> KernelPatch:
     from .. import settings
     acos_fn = acos_f32 if settings.acos_impl == "poly" else jnp.arccos
@@ -92,8 +112,11 @@ def _relu_xla(kp: KernelPatch) -> KernelPatch:
         xy = _xy_update(kp.xy, xx_yy, acos_fn)
         return KernelPatch(xy, xx_half, kp.yy * 0.5, kp.same, kp.diag)
 
-    xx_yy = kp.xx[:, None] * kp.yy[None, :] + F32_TINY
-    xy = _xy_update(kp.xy, xx_yy, acos_fn)
+    if settings.relu_impl == "fast":
+        xy = _xy_update_factored(kp.xy, kp.xx, kp.yy, acos_fn)
+    else:
+        xx_yy = kp.xx[:, None] * kp.yy[None, :] + F32_TINY
+        xy = _xy_update(kp.xy, xx_yy, acos_fn)
     mask = kp.resolve_diag_mask()
     if mask is not None:
         # Same-example entries must equal xx' exactly

@@ -17,12 +17,17 @@ relu_method = "auto"
 # polynomial, ~15 fused VPU ops, abs err < 5e-7) | "exact" (jnp.arccos,
 # which XLA lowers through atan2 -- several times more VPU work).
 acos_impl = "poly"
+# ReLU transform structure: "fast" hoists the rsqrt/sqrt of the row and
+# column variances out of the pair grid and recovers sin from cos
+# (~1 ulp deviation); "reference" follows the reference's exact op order.
+relu_impl = "fast"
 # Contraction precision for the input second-moment einsum.
 moment_precision = "highest"
 
 
 def snapshot():
-    return (conv_method, relu_method, acos_impl, moment_precision)
+    return (conv_method, relu_method, acos_impl, relu_impl,
+            moment_precision)
 
 
 @contextlib.contextmanager
