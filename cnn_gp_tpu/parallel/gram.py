@@ -144,7 +144,7 @@ def compute_gram(model, X, Z=None, *, batch_size: int = 200,
                  order: str = "contiguous", out: Optional[np.ndarray] = None,
                  symmetrize_out: bool = True, progress: bool = True,
                  print_interval: float = 2.0, desc: Optional[str] = None,
-                 tiles_per_round: int = 32):
+                 tiles_per_round: int = 64):
     """Assemble a Gram matrix blockwise.
 
     Z=None computes the symmetric upper triangle of K(X, X) (the layout the

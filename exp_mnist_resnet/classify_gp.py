@@ -13,7 +13,7 @@ import absl.flags
 import numpy as np
 
 import configs
-from cnn_gp_tpu.data import DatasetFromConfig, GramStore
+from cnn_gp_tpu.data import DatasetFromConfig, open_store
 from cnn_gp_tpu.ops import solve
 
 FLAGS = absl.flags.FLAGS
@@ -27,7 +27,8 @@ def main(_):
     _, y = DatasetFromConfig.load_full(dataset.train)
     y_1hot = solve.one_hot_targets(y)
 
-    with GramStore(FLAGS.in_path, "r") as f:
+    with open_store(FLAGS.in_path, "r",
+                    backend=FLAGS.store_backend) as f:
         # Refuse to solve on a Gram with NaN holes (e.g. an unmerged worker
         # shard): the reference would silently produce garbage accuracy
         # here; see SURVEY.md section 5 (failure detection).
@@ -61,6 +62,8 @@ if __name__ == "__main__":
     f.DEFINE_string("config", "mnist", "which config to load from `configs`")
     f.DEFINE_string("in_path", None, "path of h5 file to load kernels from")
     f.DEFINE_float("jitter", 0.0, "add to the diagonal")
+    f.DEFINE_string("store_backend", "auto",
+                    "auto (by extension) | h5 | zarr")
     f.DEFINE_string("solver", "scipy",
                     "scipy (float64 LAPACK, reference parity) | chol "
                     "(device Cholesky) | chol_ir (float32 device Cholesky "

@@ -12,7 +12,7 @@ import absl.app
 import absl.flags
 
 import configs
-from cnn_gp_tpu.data import DatasetFromConfig, GramStore
+from cnn_gp_tpu.data import DatasetFromConfig, open_store
 from cnn_gp_tpu.parallel import save_K
 
 FLAGS = absl.flags.FLAGS
@@ -26,7 +26,8 @@ def main(_):
 
     kwargs = dict(worker_rank=worker_rank, n_workers=n_workers,
                   batch_size=FLAGS.batch_size, print_interval=2.0)
-    with GramStore(FLAGS.out_path, "a") as f:
+    with open_store(FLAGS.out_path, "a",
+                    backend=FLAGS.store_backend) as f:
         save_K(f, model, "Kxx", dataset.train, None, diag=False, **kwargs)
         save_K(f, model, "Kxvx", dataset.validation, dataset.train,
                diag=False, **kwargs)
@@ -50,4 +51,7 @@ if __name__ == "__main__":
     f.DEFINE_integer("n_workers", 1, "num of workers")
     f.DEFINE_integer("worker_rank", 0, "rank of worker")
     f.DEFINE_string("out_path", None, "path of h5 file to save kernels in")
+    f.DEFINE_string("store_backend", "auto",
+                    "auto (by extension) | h5 | zarr (TensorStore; lets "
+                    "concurrent workers write one shared store)")
     absl.app.run(main)

@@ -1,0 +1,79 @@
+"""TensorStore/Zarr Gram store tests: interface parity with the HDF5
+store, concurrent-writer semantics, backend selection."""
+
+import numpy as np
+import pytest
+
+ts = pytest.importorskip("tensorstore")
+
+import cnn_gp_tpu as G  # noqa: E402
+from cnn_gp_tpu.data import (TensorStoreGramStore, open_store,  # noqa: E402
+                             synthetic_arrays)
+from cnn_gp_tpu.parallel import compute_gram  # noqa: E402
+
+
+def test_create_write_read_roundtrip(tmp_path):
+    with TensorStoreGramStore(str(tmp_path / "g")) as store:
+        store.create("Kxx", 25, None, 10)
+        blk = np.arange(100, dtype=np.float32).reshape(10, 10)
+        store.write_tile("Kxx", 0, 10, blk)
+        out = store.read("Kxx")
+        np.testing.assert_array_equal(out[0:10, 10:20], blk)
+        assert np.isnan(out[0:10, 0:10]).all()  # NaN fill
+        assert store.tile_done("Kxx", 0, 10)
+        assert not store.tile_done("Kxx", 0, 0)
+
+
+def test_missing_tiles_and_assert(tmp_path):
+    with TensorStoreGramStore(str(tmp_path / "g")) as store:
+        store.create("Kxx", 20, None, 10)
+        assert len(store.missing_tiles("Kxx", upper_triangle_only=True)) == 3
+        with pytest.raises(RuntimeError):
+            store.assert_complete("Kxx")
+
+
+def test_diag_dataset(tmp_path):
+    with TensorStoreGramStore(str(tmp_path / "g")) as store:
+        store.create("Kv_diag", 25, None, 10, diag=True)
+        store.write_tile("Kv_diag", 20, None, np.ones(5, np.float32))
+        assert store.tile_done("Kv_diag", 20, None)
+        out = store.read("Kv_diag")
+        np.testing.assert_array_equal(out[20:], np.ones(5))
+
+
+def test_gram_assembly_into_zarr(tmp_path):
+    """Full assembly path writing directly to the zarr backend."""
+    model = G.Sequential(G.Conv2d(3), G.ReLU(), G.Conv2d(7, padding=0))
+    x, _, _, _ = synthetic_arrays(n_train=27, n_test=0, shape=(1, 7, 7))
+    with TensorStoreGramStore(str(tmp_path / "g")) as store:
+        compute_gram(model, x, batch_size=10, store=store, name="Kxx",
+                     progress=False)
+        store.assert_complete("Kxx", upper_triangle_only=True)
+        out = store.read("Kxx")
+    want = np.asarray(model(x))
+    iu = np.triu_indices(27)
+    np.testing.assert_allclose(out[iu], want[iu], rtol=2e-5, atol=1e-7)
+
+
+def test_concurrent_workers_one_store(tmp_path):
+    """Two workers write disjoint tile spans into the SAME zarr store --
+    no merge step needed (unlike the reference's per-worker H5 files)."""
+    model = G.Sequential(G.Conv2d(3), G.ReLU(), G.Conv2d(7, padding=0))
+    x, _, _, _ = synthetic_arrays(n_train=33, n_test=0, shape=(1, 7, 7))
+    path = str(tmp_path / "g")
+    for rank in range(2):
+        with TensorStoreGramStore(path) as store:
+            compute_gram(model, x, batch_size=10, store=store, name="Kxx",
+                         worker_rank=rank, n_workers=2, progress=False)
+    with TensorStoreGramStore(path) as store:
+        store.assert_complete("Kxx", upper_triangle_only=True)
+
+
+def test_open_store_backend_selection(tmp_path):
+    from cnn_gp_tpu.data.store import GramStore
+    s1 = open_store(str(tmp_path / "a.h5"), "w")
+    assert isinstance(s1, GramStore)
+    s1.close()
+    s2 = open_store(str(tmp_path / "b.zarr"))
+    assert isinstance(s2, TensorStoreGramStore)
+    s2.close()
