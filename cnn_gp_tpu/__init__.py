@@ -26,10 +26,19 @@ from . import settings
 from . import fit as fit_lib
 from .fit import fit, neg_marginal_log_likelihood
 
+# Reference-parity top-level surface (the reference package star-exports
+# its data/save tooling too, reference: cnn_gp/__init__.py:1-6)
+from .data import (DatasetFromConfig, ProductIterator, DiagIterator,
+                   GramStore, open_store)
+from .parallel import save_K
+from .utils import print_timings
+
 __all__ = [
     "KernelPatch", "NNGPKernel", "Conv2d", "ReLU", "Sequential", "Sum",
     "Mixture", "resnet_block", "kernel_fn", "input_patch", "FiniteNet",
     "sample_nn_outputs", "settings", "fit", "neg_marginal_log_likelihood",
+    "DatasetFromConfig", "ProductIterator", "DiagIterator", "GramStore",
+    "open_store", "save_K", "print_timings",
 ]
 
 __version__ = "0.1.0"
