@@ -93,15 +93,24 @@ class TensorStoreGramStore:
             chunks = (min(batch_size, n), min(batch_size, n2))
             done_shape = (_cdiv(n, batch_size), _cdiv(n2, batch_size))
             done_chunks = done_shape
-        arr = ts.open(self._spec(name, create=True, shape=shape,
-                                 chunks=chunks)).result()
+        arr = self._open_or_create(name, shape, chunks, "<f4",
+                                   float("nan"))
         self._open[name] = arr
-        done = ts.open(self._spec(f"_done/{name}", create=True,
-                                  shape=done_shape, chunks=done_chunks,
-                                  dtype="|u1", fill=0)).result()
+        done = self._open_or_create(f"_done/{name}", done_shape,
+                                    done_chunks, "|u1", 0)
         self._open[f"_done/{name}"] = done
         # batch size is recoverable from the chunk grid
         return arr
+
+    def _open_or_create(self, name, shape, chunks, dtype, fill):
+        """Race-tolerant open-or-create: concurrent workers may both try
+        to create the same array; the loser just opens it."""
+        try:
+            return ts.open(self._spec(name, create=True, shape=shape,
+                                      chunks=chunks, dtype=dtype,
+                                      fill=fill)).result()
+        except Exception:
+            return ts.open(self._spec(name)).result()
 
     def has(self, name: str) -> bool:
         try:

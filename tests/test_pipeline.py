@@ -50,6 +50,30 @@ def test_full_pipeline_synthetic(tmp_path):
 
 
 @pytest.mark.slow
+def test_pipeline_zarr_backend_shared_store(tmp_path):
+    """Two workers write ONE shared zarr store concurrently -- no merge
+    step -- then classify straight from it."""
+    store = str(tmp_path / "grams.zarr")
+    common = ["--config=synthetic", f"--datasets_path={tmp_path}",
+              "--batch_size=128", f"--out_path={store}"]
+    import subprocess
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "exp_mnist_resnet.save_kernel", *common,
+         "--n_workers=2", f"--worker_rank={rank}"],
+        cwd=REPO, env=dict(os.environ), stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True) for rank in range(2)]
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-2000:]
+
+    r = run(["exp_mnist_resnet.classify_gp", "--config=synthetic",
+             f"--datasets_path={tmp_path}", f"--in_path={store}",
+             "--jitter=1e-6", "--solver=chol_ir"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "test accuracy" in r.stdout
+
+
+@pytest.mark.slow
 def test_random_comparison_driver(tmp_path):
     r = run(["exp_random_nn.random_comparison", "--config=synthetic",
              f"--datasets_path={tmp_path}", f"--out_path={tmp_path}",
