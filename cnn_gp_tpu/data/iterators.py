@@ -21,8 +21,24 @@ from ..parallel import scheduler
 __all__ = ["ProductIterator", "DiagIterator"]
 
 
-def _images(x):
-    return x.images if hasattr(x, "images") else np.asarray(x)
+def _arrays(x):
+    """(images, labels) from an ArrayDataset or a bare image array."""
+    if hasattr(x, "images"):
+        return x.images, x.labels
+    x = np.asarray(x)
+    return x, None
+
+
+class _Batcher:
+    def __init__(self, images, labels):
+        self.images = images
+        self.labels = labels
+
+    def batch(self, i0, b):
+        """(images, labels) batch -- the same pair a reference DataLoader
+        yields, so ``(i, (x, _y))`` unpacking keeps working."""
+        lbl = None if self.labels is None else self.labels[i0:i0 + b]
+        return (self.images[i0:i0 + b], lbl)
 
 
 class ProductIterator:
@@ -31,12 +47,12 @@ class ProductIterator:
 
     def __init__(self, batch_size: int, X, X2=None, worker_rank: int = 0,
                  n_workers: int = 1):
-        self.x = _images(X)
+        self.x = _Batcher(*_arrays(X))
         self.same = X2 is None
-        self.z = self.x if self.same else _images(X2)
+        self.z = self.x if self.same else _Batcher(*_arrays(X2))
         self.batch_size = batch_size
         self.manifest = scheduler.worker_manifest(
-            len(self.x), len(self.z), batch_size, self.same,
+            len(self.x.images), len(self.z.images), batch_size, self.same,
             worker_rank, n_workers)
         self._pos = 0
 
@@ -54,19 +70,19 @@ class ProductIterator:
         b = self.batch_size
         i0, j0 = ti * b, tj * b
         return (bool(is_diag),
-                (i0, self.x[i0:i0 + b]),
-                (j0, self.z[j0:j0 + b]))
+                (i0, self.x.batch(i0, b)),
+                (j0, self.z.batch(j0, b)))
 
 
 class DiagIterator:
     """Yields aligned diagonal batches (reference: cnn_gp/data.py:99-126)."""
 
     def __init__(self, batch_size: int, X, X2=None):
-        self.x = _images(X)
+        self.x = _Batcher(*_arrays(X))
         self.same = X2 is None
-        self.z = self.x if self.same else _images(X2)
+        self.z = self.x if self.same else _Batcher(*_arrays(X2))
         self.batch_size = batch_size
-        n = min(len(self.x), len(self.z))
+        n = min(len(self.x.images), len(self.z.images))
         self.offsets = list(range(0, n, batch_size))
         self._pos = 0
 
@@ -82,4 +98,5 @@ class DiagIterator:
         i0 = self.offsets[self._pos]
         self._pos += 1
         b = self.batch_size
-        return (self.same, (i0, self.x[i0:i0 + b]), (i0, self.z[i0:i0 + b]))
+        return (self.same, (i0, self.x.batch(i0, b)),
+                (i0, self.z.batch(i0, b)))

@@ -27,6 +27,8 @@ from typing import Iterable, Optional, Tuple
 
 import numpy as np
 
+from ..utils import round_up_div as _cdiv
+
 try:
     import h5py
 except ImportError:  # pragma: no cover
@@ -63,8 +65,25 @@ class GramStore:
     # -- datasets ----------------------------------------------------------
     def create(self, name: str, n: int, n2: Optional[int], batch_size: int,
                diag: bool = False):
-        """Create a NaN-filled dataset (idempotent)."""
+        """Create a NaN-filled dataset (idempotent for identical params).
+
+        Reopening with a different batch_size would silently corrupt
+        tile-level resume (the completion bitmap is indexed in tiles of
+        the *original* size), so that is an error.
+        """
         if name in self.f:
+            existing_bs = self.batch_size(name)
+            if existing_bs != min(batch_size, n):
+                raise ValueError(
+                    f"{self.path}:{name} was created with batch_size="
+                    f"{existing_bs}; resuming with batch_size="
+                    f"{batch_size} would corrupt tile-level resume. Use "
+                    f"the original batch size or a fresh store.")
+            shape = (1, n) if diag else (1, n, n if n2 is None else n2)
+            if tuple(self.f[name].shape) != shape:
+                raise ValueError(
+                    f"{self.path}:{name} has shape {self.f[name].shape}, "
+                    f"expected {shape}; dataset size changed between runs")
             return self.f[name]
         if diag:
             shape, maxshape = (1, n), (None, n)
@@ -78,7 +97,9 @@ class GramStore:
         ds = self.f.create_dataset(name, shape=shape, dtype=np.float32,
                                    fillvalue=np.nan, chunks=chunks,
                                    maxshape=maxshape)
-        ds.attrs["batch_size"] = batch_size
+        # effective (clamped) tile size -- must match the chunk grid and
+        # the resume-validation in create()
+        ds.attrs["batch_size"] = min(batch_size, n)
         self.f.create_dataset(f"_done/{name}", shape=done_shape,
                               dtype=np.uint8, fillvalue=0)
         return ds
@@ -183,6 +204,3 @@ def merge_stores(dest_path: str, src_paths: Iterable[str]):
                         dest[dk][...] = np.maximum(dest[dk][...],
                                                    src[dk][...])
 
-
-def _cdiv(a: int, b: int) -> int:
-    return (a + b - 1) // b

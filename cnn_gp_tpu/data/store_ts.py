@@ -28,6 +28,7 @@ try:
 except ImportError:  # pragma: no cover
     ts = None
 
+from ..utils import round_up_div as _cdiv
 from .store import GramStore
 
 __all__ = ["TensorStoreGramStore", "open_store"]
@@ -47,6 +48,11 @@ class TensorStoreGramStore:
         self.path = path.rstrip("/")
         self.mode = mode
         self._open = {}
+
+    def _check_writable(self):
+        if self.mode == "r":
+            raise PermissionError(
+                f"store {self.path} was opened read-only (mode='r')")
 
     # -- lifecycle ---------------------------------------------------------
     def close(self):
@@ -81,8 +87,21 @@ class TensorStoreGramStore:
     # -- datasets ----------------------------------------------------------
     def create(self, name: str, n: int, n2: Optional[int], batch_size: int,
                diag: bool = False):
+        self._check_writable()
         if self.has(name):
-            return self._get(name)
+            arr = self._get(name)
+            existing_bs = self.batch_size(name)
+            shape = (n,) if diag else (n, n if n2 is None else n2)
+            if existing_bs != min(batch_size, n):
+                raise ValueError(
+                    f"{self.path}/{name} was created with batch_size="
+                    f"{existing_bs}; resuming with batch_size={batch_size} "
+                    f"would corrupt tile-level resume")
+            if tuple(arr.shape) != shape:
+                raise ValueError(
+                    f"{self.path}/{name} has shape {tuple(arr.shape)}, "
+                    f"expected {shape}; dataset size changed between runs")
+            return arr
         if diag:
             shape, chunks = (n,), (min(batch_size, n),)
             done_shape = (_cdiv(n, batch_size),)
@@ -104,13 +123,24 @@ class TensorStoreGramStore:
 
     def _open_or_create(self, name, shape, chunks, dtype, fill):
         """Race-tolerant open-or-create: concurrent workers may both try
-        to create the same array; the loser just opens it."""
+        to create the same array; the loser opens the winner's -- but only
+        if it matches the requested geometry (a mismatch means the store
+        holds a *different* dataset and must not be silently reused)."""
         try:
             return ts.open(self._spec(name, create=True, shape=shape,
                                       chunks=chunks, dtype=dtype,
                                       fill=fill)).result()
-        except Exception:
-            return ts.open(self._spec(name)).result()
+        except Exception as create_err:
+            try:
+                arr = ts.open(self._spec(name)).result()
+            except Exception:
+                raise create_err
+            if tuple(arr.shape) != tuple(shape):
+                raise ValueError(
+                    f"{self.path}/{name} exists with shape "
+                    f"{tuple(arr.shape)}, expected {tuple(shape)}"
+                ) from create_err
+            return arr
 
     def has(self, name: str) -> bool:
         try:
@@ -125,6 +155,7 @@ class TensorStoreGramStore:
     # -- tile IO -----------------------------------------------------------
     def write_tile(self, name: str, i: int, j: Optional[int],
                    block: np.ndarray):
+        self._check_writable()
         arr = self._get(name)
         bs = self.batch_size(name)
         done = self._get(f"_done/{name}")
@@ -196,6 +227,3 @@ def open_store(path: str, mode: str = "a", backend: str = "auto"):
         return TensorStoreGramStore(path, mode)
     raise ValueError(f"unknown store backend {backend!r}")
 
-
-def _cdiv(a: int, b: int) -> int:
-    return (a + b - 1) // b

@@ -33,13 +33,17 @@ def neg_marginal_log_likelihood(model, x: jax.Array, y: jax.Array,
     the model's kernel on inputs ``x`` [N, C, W, H] (per-target-dim sum,
     constants dropped).  Differentiable in the model's array leaves."""
     k = apply_kernel(model, x, x, True, False)
-    # scale-normalise for conditioning; equivalent up to a constant shift
-    s = jnp.mean(jnp.diagonal(k))
+    # Scale-normalise for float32 conditioning (paper kernels reach ~1e12)
+    # -- with the scale *detached*, so the objective keeps its gradient
+    # with respect to the overall kernel scale.  Up to the n*log(s)
+    # constant this is the exact NMLL of K with effective jitter s*jitter.
+    s = jax.lax.stop_gradient(jnp.mean(jnp.diagonal(k)))
     k = k / s + jitter * jnp.eye(k.shape[0], dtype=k.dtype)
     chol = jnp.linalg.cholesky(k)
     alpha = jax.scipy.linalg.cho_solve((chol, True), y)
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
-    return 0.5 * jnp.sum(y * alpha) + 0.5 * y.shape[1] * logdet
+    logdet = (2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+              + k.shape[0] * jnp.log(s))
+    return 0.5 * jnp.sum(y * alpha) / s + 0.5 * y.shape[1] * logdet
 
 
 def fit(model, x, y, steps: int = 50, learning_rate: float = 0.1,

@@ -205,10 +205,9 @@ class Conv2d(NNGPKernel):
 
     @property
     def pad_lo_hi(self):
-        p = self.padding
         if self.even_trick:
-            return (p - self.dilation, p)
-        return (p, p)
+            return boxfilter.same_padding(self.kernel_size, self.dilation)
+        return (self.padding, self.padding)
 
     def propagate(self, kp: KernelPatch) -> KernelPatch:
         k = self.kernel_size

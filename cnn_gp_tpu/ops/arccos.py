@@ -198,8 +198,9 @@ def relu_transform(kp: KernelPatch, method: str = DEFAULT_METHOD
         # the *standalone* transform because jnp code fuses into the
         # surrounding conv chain, while a pallas_call is a fusion barrier
         # that forces the [Nx, Ny, W, H] tensor through HBM on both sides.
-        # The Pallas path pays off only inside the fully-fused network
-        # kernel (ops/fused.py), which calls the kernel body directly.
+        # The Pallas kernel is kept selectable for whole-network fusion
+        # experiments (none shipped: BASELINE.md's roofline analysis shows
+        # the fused XLA path already at the VPU roofline).
         method = "xla"
     if method == "xla":
         return _relu_xla(kp)

@@ -92,6 +92,16 @@ def _pad_to_multiple(x: np.ndarray, b: int) -> np.ndarray:
     return np.concatenate([x, pad])
 
 
+def _backfill_out(out: np.ndarray, stored: np.ndarray, symmetric: bool,
+                  symmetrize_out: bool) -> None:
+    """Copy already-computed (non-NaN) store entries into ``out``."""
+    have = ~np.isnan(stored)
+    out[have] = stored[have]
+    if symmetric and symmetrize_out:
+        have_t = have.T & ~have
+        out[have_t] = stored.T[have_t]
+
+
 def check_block_finite(block: np.ndarray, i0: int, j0: int):
     """Refuse to persist NaN/Inf Gram entries.
 
@@ -164,10 +174,15 @@ def compute_gram(model, X, Z=None, *, batch_size: int = 200,
     if store is not None:
         assert name is not None
         store.create(name, n1, n2, b)
+        n_before = len(manifest)
         manifest = np.asarray(
             [t for t in manifest
              if not store.tile_done(name, int(t[1]) * b, int(t[2]) * b)],
             dtype=np.int32).reshape(-1, 3)
+        if out is not None and len(manifest) < n_before:
+            # resume with an in-memory output: backfill the tiles that are
+            # being skipped from the store so `out` has no NaN holes
+            _backfill_out(out, store.read(name), symmetric, symmetrize_out)
     if out is None and store is None:
         out = np.full((n1, n2), np.nan, np.float32)
 

@@ -92,13 +92,16 @@ def compute_gram_sharded(model, X, Z=None, *, batch_size: int = 200,
         keep = [k for k in range(n_tiles)
                 if not store.tile_done(name, int(offsets[k, 0]),
                                        int(offsets[k, 1]))]
+        if out is not None and len(keep) < n_tiles:
+            gram._backfill_out(out, store.read(name), symmetric,
+                               symmetrize_out)
         offsets = offsets[keep]
         n_tiles = len(offsets)
     if out is None and store is None:
         out = np.full((n1, n2), np.nan, np.float32)
 
-    x_np = _pad_to_multiple(np.asarray(X, np.float32), b)
-    z_np = x_np if symmetric else _pad_to_multiple(
+    x_np = gram._pad_to_multiple(np.asarray(X, np.float32), b)
+    z_np = x_np if symmetric else gram._pad_to_multiple(
         np.asarray(Z, np.float32), b)
 
     sweep = jax.jit(jax.shard_map(
@@ -144,9 +147,3 @@ def compute_gram_sharded(model, X, Z=None, *, batch_size: int = 200,
             write(int(i0), int(j0), blk)
     return out
 
-
-def _pad_to_multiple(x: np.ndarray, b: int) -> np.ndarray:
-    rem = (-len(x)) % b
-    if rem == 0:
-        return x
-    return np.concatenate([x, np.zeros((rem,) + x.shape[1:], x.dtype)])

@@ -15,12 +15,10 @@ from typing import Tuple
 
 import numpy as np
 
+from ..utils import round_up_div
+
 __all__ = ["n_tiles", "tile_manifest", "worker_span", "worker_manifest",
            "round_up_div"]
-
-
-def round_up_div(a: int, b: int) -> int:
-    return (a + b - 1) // b
 
 
 def n_tiles(n1_batches: int, n2_batches: int, symmetric: bool) -> int:
