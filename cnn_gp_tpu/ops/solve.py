@@ -82,22 +82,34 @@ def _solve_chol(kxx: np.ndarray, y: np.ndarray, dtype) -> np.ndarray:
     return np.asarray(jax.scipy.linalg.cho_solve(factor, y_d))
 
 
+@jax.jit
+def _chol32(k32):
+    return jax.scipy.linalg.cho_factor(k32, lower=True)[0]
+
+
+@jax.jit
+def _cho_solve32(chol, rhs32):
+    return jax.scipy.linalg.cho_solve((chol, True), rhs32)
+
+
 def _solve_chol_ir(kxx: np.ndarray, y: np.ndarray,
                    iters: int = 3) -> np.ndarray:
-    """float32 device factorisation + float64 host iterative refinement."""
-    kxx32 = jnp.asarray(kxx, jnp.float32)
-    factor = jax.scipy.linalg.cho_factor(kxx32, lower=True)
+    """float32 device factorisation + float64 host iterative refinement.
 
-    @jax.jit
-    def solve32(rhs32):
-        return jax.scipy.linalg.cho_solve(factor, rhs32)
-
+    The factor is threaded as a jit *argument*, never a closure constant:
+    a closed-over device array is baked into the compiled program as a
+    literal, which bloats (and on remote-compile runtimes, breaks) the
+    compile payload at large N.
+    """
+    chol = _chol32(jnp.asarray(kxx, jnp.float32))
     kxx64 = np.asarray(kxx, np.float64)
     y64 = np.asarray(y, np.float64)
-    a = np.asarray(solve32(jnp.asarray(y, jnp.float32)), np.float64)
+    a = np.asarray(_cho_solve32(chol, jnp.asarray(y, jnp.float32)),
+                   np.float64)
     for _ in range(iters):
         r = y64 - kxx64 @ a                     # float64 residual on host
-        da = np.asarray(solve32(jnp.asarray(r, jnp.float32)), np.float64)
+        da = np.asarray(_cho_solve32(chol, jnp.asarray(r, jnp.float32)),
+                        np.float64)
         a = a + da
     return a
 

@@ -1,0 +1,76 @@
+"""Coverage for utility paths: settings override, timing format,
+profiler annotate, merge of reference-format files (no bitmaps)."""
+
+import numpy as np
+
+import cnn_gp_tpu as G
+from cnn_gp_tpu import settings
+from cnn_gp_tpu.data import GramStore, merge_stores
+from cnn_gp_tpu.utils import hhmmss, print_timings, round_up_div
+from cnn_gp_tpu.utils.profiling import annotate
+
+
+def test_settings_override_restores():
+    old = settings.conv_method
+    with settings.override(conv_method="direct", acos_impl="exact"):
+        assert settings.conv_method == "direct"
+        assert settings.acos_impl == "exact"
+    assert settings.conv_method == old
+
+
+def test_settings_snapshot_changes_with_override():
+    a = settings.snapshot()
+    with settings.override(relu_impl="reference"):
+        b = settings.snapshot()
+    assert a != b
+
+
+def test_hhmmss():
+    assert hhmmss(59) == "00:59"
+    assert hhmmss(61) == "01:01"
+    assert hhmmss(3661) == "01:01:01"
+
+
+def test_print_timings_passthrough(capsys):
+    out = list(print_timings(iter(range(5)), desc="t", print_interval=0.0,
+                             total=5))
+    assert out == [0, 1, 2, 3, 4]
+    assert "t: " in capsys.readouterr().out
+
+
+def test_round_up_div():
+    assert round_up_div(10, 3) == 4
+    assert round_up_div(9, 3) == 3
+
+
+def test_annotate_context():
+    with annotate("unit-test-span"):
+        pass
+
+
+def test_merge_reference_format_files(tmp_path):
+    """Files without _done bitmaps (as the reference tooling writes them)
+    must merge via NaN scanning."""
+    import h5py
+    a_path, b_path = str(tmp_path / "a.h5"), str(tmp_path / "b.h5")
+    for path, rows in [(a_path, range(0, 2)), (b_path, range(2, 4))]:
+        with h5py.File(path, "w") as f:
+            ds = f.create_dataset("Kxx", shape=(1, 4, 4), dtype=np.float32,
+                                  fillvalue=np.nan, chunks=(1, 2, 2))
+            for i in rows:
+                ds[0, i, :] = i
+    merge_stores(a_path, [b_path])
+    with GramStore(a_path, "r") as store:
+        merged = store.read("Kxx")
+    assert not np.isnan(merged).any()
+    np.testing.assert_array_equal(merged[3], np.full(4, 3.0))
+
+
+def test_diag_iterator_cross_pair():
+    from cnn_gp_tpu.data import DiagIterator
+    x = np.zeros((10, 1, 2, 2), np.float32)
+    z = np.ones((12, 1, 2, 2), np.float32)
+    items = list(DiagIterator(4, x, z))
+    # truncated to the shorter input, like zip in the reference
+    assert sum(len(b[1][1][0]) for b in items) == 10
+    assert all(not s for s, _, _ in items)
