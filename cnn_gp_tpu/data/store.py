@@ -73,7 +73,7 @@ class GramStore:
         """
         if name in self.f:
             existing_bs = self.batch_size(name)
-            if existing_bs != min(batch_size, n):
+            if existing_bs != batch_size:
                 raise ValueError(
                     f"{self.path}:{name} was created with batch_size="
                     f"{existing_bs}; resuming with batch_size="
@@ -97,9 +97,10 @@ class GramStore:
         ds = self.f.create_dataset(name, shape=shape, dtype=np.float32,
                                    fillvalue=np.nan, chunks=chunks,
                                    maxshape=maxshape)
-        # effective (clamped) tile size -- must match the chunk grid and
-        # the resume-validation in create()
-        ds.attrs["batch_size"] = min(batch_size, n)
+        # the SCHEDULER's tile size (unclamped): the completion bitmap is
+        # indexed in these units; chunks are clamped per dimension purely
+        # as a storage detail
+        ds.attrs["batch_size"] = batch_size
         self.f.create_dataset(f"_done/{name}", shape=done_shape,
                               dtype=np.uint8, fillvalue=0)
         return ds

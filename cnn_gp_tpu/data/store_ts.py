@@ -92,7 +92,7 @@ class TensorStoreGramStore:
             arr = self._get(name)
             existing_bs = self.batch_size(name)
             shape = (n,) if diag else (n, n if n2 is None else n2)
-            if existing_bs != min(batch_size, n):
+            if existing_bs != batch_size:
                 raise ValueError(
                     f"{self.path}/{name} was created with batch_size="
                     f"{existing_bs}; resuming with batch_size={batch_size} "
@@ -118,8 +118,27 @@ class TensorStoreGramStore:
         done = self._open_or_create(f"_done/{name}", done_shape,
                                     done_chunks, "|u1", 0)
         self._open[f"_done/{name}"] = done
-        # batch size is recoverable from the chunk grid
+        self._write_attrs(name, {"batch_size": batch_size})
         return arr
+
+    def _attrs_path(self, name: str) -> str:
+        # standard zarr attributes file alongside the array metadata
+        return f"{self.path}/{name}/.zattrs"
+
+    def _write_attrs(self, name: str, attrs: dict):
+        import json
+        import os
+        os.makedirs(os.path.dirname(self._attrs_path(name)), exist_ok=True)
+        with open(self._attrs_path(name), "w") as f:
+            json.dump(attrs, f)
+
+    def _read_attrs(self, name: str) -> dict:
+        import json
+        try:
+            with open(self._attrs_path(name)) as f:
+                return json.load(f)
+        except OSError:
+            return {}
 
     def _open_or_create(self, name, shape, chunks, dtype, fill):
         """Race-tolerant open-or-create: concurrent workers may both try
@@ -150,6 +169,11 @@ class TensorStoreGramStore:
             return False
 
     def batch_size(self, name: str) -> int:
+        """The scheduler tile size; the chunk grid is a clamped fallback
+        for stores written by other tools."""
+        attrs = self._read_attrs(name)
+        if "batch_size" in attrs:
+            return int(attrs["batch_size"])
         return int(self._get(name).chunk_layout.read_chunk.shape[-1])
 
     # -- tile IO -----------------------------------------------------------
