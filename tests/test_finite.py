@@ -115,3 +115,16 @@ def test_sum_module_residual():
     branch = np.asarray(
         jnp.maximum(FiniteNet(G.Conv2d(3), 4).apply(params[1][0], x), 0.0))
     np.testing.assert_allclose(got, x + branch, rtol=1e-5, atol=1e-6)
+
+
+def test_resnet32_finite_mirror_shapes():
+    """model.nn() must thread channel multipliers through all 15
+    projection/identity resnet blocks (reference: cnn_gp/kernels.py:274-296
+    + configs/mnist_as_tf.py)."""
+    import configs
+    model = configs.load("mnist_as_tf").initial_model
+    net = FiniteNet(model, channels=4, in_channels=1, out_channels=10)
+    x = np.random.RandomState(0).rand(2, 1, 28, 28).astype(np.float32)
+    y = np.asarray(net.apply(net.init(jax.random.key(0)), x))
+    assert y.shape == (2, 10, 1, 1)
+    assert np.isfinite(y).all()
