@@ -1,0 +1,50 @@
+"""One-shot GP classification: dataset -> device-resident Gram -> solve.
+
+TPU-native addition without a reference counterpart: where the reference
+splits the experiment into save_kernel -> merge -> classify_gp through
+HDF5 files (reference: exp_mnist_resnet/run.bash:21-49), this driver keeps
+the Gram on device end to end (cnn_gp_tpu/parallel/device_pipeline.py) --
+the right shape for interactive runs and for datasets whose Gram fits in
+HBM.  Use the store-based drivers for checkpointed multi-worker fleets.
+"""
+
+import time
+
+import absl.app
+import absl.flags
+
+import configs
+from cnn_gp_tpu.data import DatasetFromConfig
+from cnn_gp_tpu.parallel import classify_device
+
+FLAGS = absl.flags.FLAGS
+
+
+def main(_):
+    config = configs.load(FLAGS.config)
+    dataset = DatasetFromConfig(FLAGS.datasets_path, config)
+
+    t0 = time.perf_counter()
+    accs = classify_device(
+        config.initial_model,
+        dataset.train.images, dataset.train.labels,
+        (dataset.validation.images, dataset.validation.labels),
+        (dataset.test.images, dataset.test.labels),
+        batch_size=FLAGS.batch_size, jitter=FLAGS.jitter,
+        refine=FLAGS.refine)
+    elapsed = time.perf_counter() - t0
+    print(f"validation accuracy: {accs[0] * 100}%")
+    print(f"test accuracy: {accs[1] * 100}%")
+    print(f"total wall time: {elapsed:.1f}s")
+
+
+if __name__ == "__main__":
+    f = absl.flags
+    f.DEFINE_string("datasets_path", "/tmp/datasets",
+                    "where to load datasets from")
+    f.DEFINE_string("config", "mnist", "which config to load from `configs`")
+    f.DEFINE_integer("batch_size", 128, "Gram tile size")
+    f.DEFINE_float("jitter", 1e-6, "added to the scale-normalised diagonal")
+    f.DEFINE_boolean("refine", True,
+                     "float64 host refinement of the float32 device solve")
+    absl.app.run(main)
