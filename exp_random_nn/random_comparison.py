@@ -38,7 +38,8 @@ def main(_):
                           n_samples=FLAGS.n_samples,
                           channels=FLAGS.channels,
                           in_channels=config.in_channels,
-                          out_channels=1)
+                          out_channels=1,
+                          sample_batch=FLAGS.sample_batch)
     r = np.asarray(r)                       # [S, N]
 
     os.makedirs(FLAGS.out_path, exist_ok=True)
@@ -75,4 +76,6 @@ if __name__ == "__main__":
                      "the number of channels of the random finite NNs")
     f.DEFINE_integer("n_samples", 10000,
                      "Number of samples to draw from the NN")
+    f.DEFINE_integer("sample_batch", 256,
+                     "how many sampled networks to vmap per device step")
     absl.app.run(main)
