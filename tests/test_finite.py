@@ -128,3 +128,34 @@ def test_resnet32_finite_mirror_shapes():
     y = np.asarray(net.apply(net.init(jax.random.key(0)), x))
     assert y.shape == (2, 10, 1, 1)
     assert np.isfinite(y).all()
+
+
+@pytest.mark.slow
+def test_residual_paper_bug_reproduced():
+    """The residual-cnn config sums branches after the ReLU -- dependent,
+    non-zero-mean branches -- so its finite nets do NOT converge to the
+    analytic kernel; the reference replicates this deliberately and so do
+    we (reference: configs/mnist_paper_residual_cnn_gp.py:1-14).  The
+    empirical covariance must stay far from the kernel even at width 128
+    (measured plateau ~0.15), while a proper post-conv resnet_block
+    converges to the Monte-Carlo floor."""
+    rng = np.random.RandomState(0)
+    x = rng.rand(10, 1, 8, 8).astype(np.float32)
+
+    def covdev(model, width, n=2000):
+        r = np.asarray(sample_nn_outputs(
+            model, x, jax.random.key(0), n_samples=n, channels=width,
+            in_channels=1, sample_batch=100))
+        est = r.T @ r / len(r)
+        true = np.asarray(model(x))
+        return np.abs(est - true).mean() / np.abs(true).mean()
+
+    buggy = G.Sequential(
+        G.Sum([G.Sequential(),
+               G.Sequential(G.Conv2d(4, var_weight=7.27 * 16,
+                                     var_bias=4.69), G.ReLU())]),
+        G.Conv2d(8, padding=0, var_weight=7.27, var_bias=4.69))
+    proper = G.Sequential(G.Conv2d(3), G.resnet_block(), G.ReLU(),
+                          G.Conv2d(8, padding=0))
+    assert covdev(buggy, 128) > 0.08      # systematic bias, not MC noise
+    assert covdev(proper, 128) < 0.05     # converges to the kernel
