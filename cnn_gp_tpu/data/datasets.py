@@ -25,7 +25,7 @@ import gzip
 import os
 import pickle
 import struct
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -12,8 +12,6 @@ restart machinery (reference: cnn_gp/data.py:83-96) to replicate.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from ..parallel import scheduler

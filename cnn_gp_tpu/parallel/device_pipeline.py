@@ -19,15 +19,12 @@ tile working set.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
 from .. import settings
-from ..kernels import apply_kernel
 from . import scheduler
 from .gram import _pad_to_multiple, _tile_body
 

@@ -17,7 +17,6 @@ while the next round computes.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -30,7 +29,7 @@ from .. import settings
 from ..kernels import apply_kernel
 from ..utils.timing import print_timings
 from . import gram, scheduler
-from .mesh import TILE_AXIS, make_mesh
+from .mesh import make_mesh
 
 __all__ = ["compute_gram_sharded"]
 

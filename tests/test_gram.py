@@ -1,8 +1,6 @@
 """Gram assembly tests: blockwise == monolithic, worker sharding, store
 round-trip, tile-level resume."""
 
-import os
-
 import numpy as np
 import pytest
 

@@ -3,7 +3,6 @@ profiler annotate, merge of reference-format files (no bitmaps)."""
 
 import numpy as np
 
-import cnn_gp_tpu as G
 from cnn_gp_tpu import settings
 from cnn_gp_tpu.data import GramStore, merge_stores
 from cnn_gp_tpu.utils import hhmmss, print_timings, round_up_div

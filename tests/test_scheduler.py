@@ -7,13 +7,10 @@ import pytest
 from cnn_gp_tpu.parallel import scheduler
 
 
-def test_manifest_matches_reference_order(ref_kernels):
+def test_manifest_matches_reference_order():
     """Our static manifest must enumerate tiles in the reference generator's
-    order (reference: cnn_gp/data.py:22-29)."""
-    import importlib.util
-    import sys
-    # _product_generator lives in data.py which imports torchvision; rebuild
-    # the expected order directly from its documented semantics instead.
+    order (reference: cnn_gp/data.py:22-29; that module imports torchvision,
+    so the expected order is rebuilt from its documented semantics)."""
     for n in (1, 2, 5):
         got = scheduler.tile_manifest(n, n, True)
         want = []
