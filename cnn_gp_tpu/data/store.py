@@ -130,6 +130,10 @@ class GramStore:
         d = self._done(name)
         return bool(d[i // bs] if j is None else d[i // bs, j // bs])
 
+    def done_mask(self, name: str) -> np.ndarray:
+        """Whole completion bitmap in one read."""
+        return np.asarray(self._done(name))
+
     def _done(self, name: str):
         key = f"_done/{name}"
         if key not in self.f:  # file written by the reference tooling

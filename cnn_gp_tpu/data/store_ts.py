@@ -48,6 +48,12 @@ class TensorStoreGramStore:
         self.path = path.rstrip("/")
         self.mode = mode
         self._open = {}
+        self._attrs_cache = {}
+        if mode == "w" and "://" not in self.path:
+            # match the h5 backend: 'w' truncates (a stale _done bitmap
+            # would otherwise silently skip all work on the new run)
+            import shutil
+            shutil.rmtree(self.path, ignore_errors=True)
 
     def _check_writable(self):
         if self.mode == "r":
@@ -66,9 +72,14 @@ class TensorStoreGramStore:
 
     def _spec(self, name: str, create: bool = False, shape=None,
               chunks=None, dtype="<f4", fill=float("nan")):
+        if "://" in self.path:
+            # object-store / URL form (gs://bucket/..., s3://..., memory://)
+            kvstore = f"{self.path}/{name}/"
+        else:
+            kvstore = {"driver": "file", "path": f"{self.path}/{name}"}
         spec = {
             "driver": "zarr",
-            "kvstore": {"driver": "file", "path": f"{self.path}/{name}"},
+            "kvstore": kvstore,
         }
         if create:
             spec["metadata"] = {"shape": list(shape),
@@ -105,13 +116,15 @@ class TensorStoreGramStore:
         if diag:
             shape, chunks = (n,), (min(batch_size, n),)
             done_shape = (_cdiv(n, batch_size),)
-            done_chunks = done_shape
+            done_chunks = (1,)
         else:
             n2 = n if n2 is None else n2
             shape = (n, n2)
             chunks = (min(batch_size, n), min(batch_size, n2))
             done_shape = (_cdiv(n, batch_size), _cdiv(n2, batch_size))
-            done_chunks = done_shape
+            done_chunks = (1, 1)
+        # one chunk PER done-bit: concurrent workers then never
+        # read-modify-write a shared object (the lock-free design claim)
         arr = self._open_or_create(name, shape, chunks, "<f4",
                                    float("nan"))
         self._open[name] = arr
@@ -131,14 +144,19 @@ class TensorStoreGramStore:
         os.makedirs(os.path.dirname(self._attrs_path(name)), exist_ok=True)
         with open(self._attrs_path(name), "w") as f:
             json.dump(attrs, f)
+        self._attrs_cache[name] = attrs
 
     def _read_attrs(self, name: str) -> dict:
         import json
+        if name in self._attrs_cache:
+            return self._attrs_cache[name]
         try:
             with open(self._attrs_path(name)) as f:
-                return json.load(f)
+                attrs = json.load(f)
         except OSError:
-            return {}
+            attrs = {}
+        self._attrs_cache[name] = attrs
+        return attrs
 
     def _open_or_create(self, name, shape, chunks, dtype, fill):
         """Race-tolerant open-or-create: concurrent workers may both try
@@ -197,6 +215,11 @@ class TensorStoreGramStore:
         if j is None:
             return bool(done[i // bs].read().result())
         return bool(done[i // bs, j // bs].read().result())
+
+    def done_mask(self, name: str) -> np.ndarray:
+        """Whole completion bitmap in one read (resume filtering over T
+        tiles must not issue T point reads)."""
+        return np.asarray(self._get(f"_done/{name}").read().result())
 
     # -- reading -----------------------------------------------------------
     def read(self, name: str, dtype=np.float32) -> np.ndarray:

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["one_hot_targets", "diag_add", "symmetrize_from_upper",
-           "solve_gp", "predict", "accuracy", "classify"]
+           "solve_gp", "predict", "accuracy", "classify",
+           "refine_with_factor"]
 
 
 def one_hot_targets(labels: np.ndarray, n_classes: Optional[int] = None,
@@ -92,17 +93,16 @@ def _cho_solve32(chol, rhs32):
     return jax.scipy.linalg.cho_solve((chol, True), rhs32)
 
 
-def _solve_chol_ir(kxx: np.ndarray, y: np.ndarray,
-                   iters: int = 3) -> np.ndarray:
-    """float32 device factorisation + float64 host iterative refinement.
+def refine_with_factor(chol, kxx64: np.ndarray, y: np.ndarray,
+                       iters: int = 3) -> np.ndarray:
+    """Iteratively refine against a device-resident float32 Cholesky
+    factor: float64 residuals on host, correction solves on device.
 
     The factor is threaded as a jit *argument*, never a closure constant:
     a closed-over device array is baked into the compiled program as a
     literal, which bloats (and on remote-compile runtimes, breaks) the
     compile payload at large N.
     """
-    chol = _chol32(jnp.asarray(kxx, jnp.float32))
-    kxx64 = np.asarray(kxx, np.float64)
     y64 = np.asarray(y, np.float64)
     a = np.asarray(_cho_solve32(chol, jnp.asarray(y, jnp.float32)),
                    np.float64)
@@ -112,6 +112,14 @@ def _solve_chol_ir(kxx: np.ndarray, y: np.ndarray,
                         np.float64)
         a = a + da
     return a
+
+
+def _solve_chol_ir(kxx: np.ndarray, y: np.ndarray,
+                   iters: int = 3) -> np.ndarray:
+    """float32 device factorisation + float64 host iterative refinement."""
+    chol = _chol32(jnp.asarray(kxx, jnp.float32))
+    return refine_with_factor(chol, np.asarray(kxx, np.float64), y,
+                              iters=iters)
 
 
 def solve_gp(kxx: np.ndarray, y: np.ndarray, jitter: float = 0.0,

@@ -100,13 +100,20 @@ def classify_device(model, train_x, train_y, *splits,
         preds = _solve_predict_jit(kxx, y, kzx, jitter, n_classes)
         return [float(np.mean(np.asarray(p) == np.asarray(lbl)))
                 for p, (_, lbl) in zip(preds, splits)]
-    # float64 quality: one download of Kxx, refine on host, predict on host
-    kxx_h = np.asarray(kxx, np.float64)
-    s = float(np.diagonal(kxx_h).mean())
-    kxx_h /= s
+    # float64 quality: factor the *resident* Kxx on device (no re-upload),
+    # download it once for the float64 residual refinement on host
+    s = float(np.asarray(jnp.mean(jnp.diagonal(kxx))))
+    chol = _normalize_and_factor(kxx, s, jitter)
+    kxx_h = np.asarray(kxx, np.float64) / s
     solve.diag_add(kxx_h, jitter)
-    a = solve.solve_gp(kxx_h, solve.one_hot_targets(train_y, n_classes),
-                       method="chol_ir")
+    a = solve.refine_with_factor(chol, kxx_h,
+                                 solve.one_hot_targets(train_y, n_classes))
     return [solve.accuracy(
         solve.predict(np.asarray(k, np.float64) / s, a), lbl)
         for k, (_, lbl) in zip(kzx, splits)]
+
+
+@jax.jit
+def _normalize_and_factor(kxx, s, jitter):
+    k = kxx / s + jitter * jnp.eye(kxx.shape[0], dtype=kxx.dtype)
+    return jnp.linalg.cholesky(k)

@@ -175,10 +175,9 @@ def compute_gram(model, X, Z=None, *, batch_size: int = 200,
         assert name is not None
         store.create(name, n1, n2, b)
         n_before = len(manifest)
-        manifest = np.asarray(
-            [t for t in manifest
-             if not store.tile_done(name, int(t[1]) * b, int(t[2]) * b)],
-            dtype=np.int32).reshape(-1, 3)
+        done = store.done_mask(name)  # one bulk read, not T point reads
+        manifest = manifest[~done[manifest[:, 1], manifest[:, 2]]
+                            .astype(bool)]
         if out is not None and len(manifest) < n_before:
             # resume with an in-memory output: backfill the tiles that are
             # being skipped from the store so `out` has no NaN holes

@@ -88,10 +88,9 @@ def compute_gram_sharded(model, X, Z=None, *, batch_size: int = 200,
     if store is not None:
         assert name is not None
         store.create(name, n1, n2, b)
-        keep = [k for k in range(n_tiles)
-                if not store.tile_done(name, int(offsets[k, 0]),
-                                       int(offsets[k, 1]))]
-        if out is not None and len(keep) < n_tiles:
+        done = store.done_mask(name)  # one bulk read, not T point reads
+        keep = ~done[offsets[:, 0] // b, offsets[:, 1] // b].astype(bool)
+        if out is not None and keep.sum() < n_tiles:
             gram._backfill_out(out, store.read(name), symmetric,
                                symmetrize_out)
         offsets = offsets[keep]

@@ -77,3 +77,35 @@ def test_open_store_backend_selection(tmp_path):
     s2 = open_store(str(tmp_path / "b.zarr"))
     assert isinstance(s2, TensorStoreGramStore)
     s2.close()
+
+
+def test_mode_w_truncates(tmp_path):
+    """mode='w' must truncate like the h5 backend -- a stale _done bitmap
+    would otherwise silently skip all work on a new run."""
+    path = str(tmp_path / "g")
+    with TensorStoreGramStore(path, "w") as store:
+        store.create("Kxx", 20, None, 10)
+        store.write_tile("Kxx", 0, 0, np.ones((10, 10), np.float32))
+    with TensorStoreGramStore(path, "w") as store:
+        store.create("Kxx", 20, None, 10)
+        assert not store.tile_done("Kxx", 0, 0)
+        assert np.isnan(store.read("Kxx")).all()
+
+
+def test_url_kvstore_form():
+    """URL paths (gs://, s3://, memory://) must pass through as tensorstore
+    kvstore URLs, not local file paths."""
+    with TensorStoreGramStore("memory://grams_test") as store:
+        store.create("Kxx", 20, None, 10)
+        store.write_tile("Kxx", 0, 10, np.ones((10, 10), np.float32))
+        assert store.tile_done("Kxx", 0, 10)
+        assert store.read("Kxx")[0, 10] == 1.0
+
+
+def test_done_mask_bulk_read(tmp_path):
+    with TensorStoreGramStore(str(tmp_path / "g")) as store:
+        store.create("Kxx", 30, None, 10)
+        store.write_tile("Kxx", 10, 20, np.ones((10, 10), np.float32))
+        mask = store.done_mask("Kxx")
+        assert mask.shape == (3, 3)
+        assert mask[1, 2] == 1 and mask.sum() == 1
