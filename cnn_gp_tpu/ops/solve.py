@@ -53,15 +53,22 @@ def diag_add(k: np.ndarray, jitter: float) -> None:
     k.flat[:: k.shape[-1] + 1] += jitter
 
 
-def symmetrize_from_upper(k: np.ndarray) -> np.ndarray:
+def symmetrize_from_upper(k: np.ndarray, block: int = 4096) -> np.ndarray:
     """Mirror the upper triangle into the lower (in place, NaN-aware).
 
     Works both for our assembly output and for reference-written H5 files
-    whose lower triangle is NaN fill.
+    whose lower triangle is NaN fill.  Blockwise: ``np.triu_indices(N)``
+    would allocate two O(N^2) int64 index arrays (40 GB at N=50k).
     """
     n = k.shape[0]
-    iu = np.triu_indices(n, 1)
-    k[iu[1], iu[0]] = k[iu]
+    for i0 in range(0, n, block):
+        i1 = min(i0 + block, n)
+        iu = np.triu_indices(i1 - i0, 1)
+        diag_blk = k[i0:i1, i0:i1]
+        diag_blk[iu[1], iu[0]] = diag_blk[iu]
+        for j0 in range(i1, n, block):
+            j1 = min(j0 + block, n)
+            k[j0:j1, i0:i1] = k[i0:i1, j0:j1].T
     return k
 
 
