@@ -34,10 +34,18 @@ def _idx_labels(path, arr):
         f.write(arr.astype(np.uint8).tobytes())
 
 
-def _digits(n, side, seed):
-    """Digit-like images: class prototype blobs + noise, uint8."""
+def _digits(n, side, seed, proto_seed=None):
+    """Digit-like images: class prototype blobs + noise, uint8.
+
+    The prototypes must be SHARED between the train and test files
+    (``proto_seed``) or the two splits are different tasks and test
+    accuracy is meaningless -- real MNIST's train/test are i.i.d.
+    """
+    proto_rng = np.random.RandomState(
+        seed if proto_seed is None else proto_seed)
+    protos = (proto_rng.rand(10, side, side) ** 2 * 255).astype(np.float32)
     rng = np.random.RandomState(seed)
-    protos = (rng.rand(10, side, side) ** 2 * 255).astype(np.float32)
+    rng.rand(10, side, side)  # keep the seed=1 train stream byte-stable
     y = rng.randint(0, 10, n)
     x = protos[y] * (0.6 + 0.4 * rng.rand(n, 1, 1))
     x += 30 * rng.randn(n, side, side)
@@ -48,7 +56,7 @@ def make_mnist(root, n_train=60000, n_test=10000):
     raw = os.path.join(root, "MNIST", "MNIST", "raw")
     os.makedirs(raw, exist_ok=True)
     tr_x, tr_y = _digits(n_train, 28, seed=1)
-    te_x, te_y = _digits(n_test, 28, seed=2)
+    te_x, te_y = _digits(n_test, 28, seed=2, proto_seed=1)
     _idx_images(os.path.join(raw, "train-images-idx3-ubyte"), tr_x)
     _idx_labels(os.path.join(raw, "train-labels-idx1-ubyte"), tr_y)
     _idx_images(os.path.join(raw, "t10k-images-idx3-ubyte"), te_x)
