@@ -9,14 +9,18 @@ finite-width Monte-Carlo validation -- redesigned for TPU meshes.
 
 import os as _os
 
-# Honour JAX_PLATFORMS even where a sitecustomize pre-imports jax and
-# freezes env-derived config before user code runs (see tests/conftest.py).
-if "JAX_PLATFORMS" in _os.environ:
-    try:
-        import jax as _jax
+# Honour JAX_PLATFORMS / JAX_COMPILATION_CACHE_DIR even where a
+# sitecustomize pre-imports jax and freezes env-derived config before user
+# code runs (see tests/conftest.py).
+try:
+    import jax as _jax
+    if "JAX_PLATFORMS" in _os.environ:
         _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
-    except Exception:  # pragma: no cover - best effort
-        pass
+    if "JAX_COMPILATION_CACHE_DIR" in _os.environ:
+        _jax.config.update("jax_compilation_cache_dir",
+                           _os.environ["JAX_COMPILATION_CACHE_DIR"])
+except Exception:  # pragma: no cover - best effort
+    pass
 
 from .kernel_patch import KernelPatch
 from .kernels import (NNGPKernel, Conv2d, ReLU, Sequential, Sum, Mixture,
