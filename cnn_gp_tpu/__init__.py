@@ -12,15 +12,19 @@ import os as _os
 # Honour JAX_PLATFORMS / JAX_COMPILATION_CACHE_DIR even where a
 # sitecustomize pre-imports jax and freezes env-derived config before user
 # code runs (see tests/conftest.py).
-try:
-    import jax as _jax
-    if "JAX_PLATFORMS" in _os.environ:
-        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
-    if "JAX_COMPILATION_CACHE_DIR" in _os.environ:
-        _jax.config.update("jax_compilation_cache_dir",
-                           _os.environ["JAX_COMPILATION_CACHE_DIR"])
-except Exception:  # pragma: no cover - best effort
-    pass
+def _reapply_env_config():
+    import jax
+    for env, key in (("JAX_PLATFORMS", "jax_platforms"),
+                     ("JAX_COMPILATION_CACHE_DIR",
+                      "jax_compilation_cache_dir")):
+        if env in _os.environ:
+            try:  # independent: one failing update must not skip the rest
+                jax.config.update(key, _os.environ[env])
+            except Exception:  # pragma: no cover - best effort
+                pass
+
+
+_reapply_env_config()
 
 from .kernel_patch import KernelPatch
 from .kernels import (NNGPKernel, Conv2d, ReLU, Sequential, Sum, Mixture,

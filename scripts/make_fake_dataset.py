@@ -67,12 +67,13 @@ def make_mnist(root, n_train=60000, n_test=10000):
 def make_cifar10(root):
     d = os.path.join(root, "CIFAR10", "cifar-10-batches-py")
     os.makedirs(d, exist_ok=True)
+    # one shared prototype set across ALL batches (see _digits docstring)
     for i in range(1, 6):
-        x, y = _digits(10000, 32, seed=10 + i)
+        x, y = _digits(10000, 32, seed=10 + i, proto_seed=10)
         data = np.repeat(x[:, None], 3, axis=1).reshape(10000, -1)
         with open(os.path.join(d, f"data_batch_{i}"), "wb") as f:
             pickle.dump({"data": data, "labels": y.tolist()}, f)
-    x, y = _digits(10000, 32, seed=99)
+    x, y = _digits(10000, 32, seed=99, proto_seed=10)
     data = np.repeat(x[:, None], 3, axis=1).reshape(10000, -1)
     with open(os.path.join(d, "test_batch"), "wb") as f:
         pickle.dump({"data": data, "labels": y.tolist()}, f)
