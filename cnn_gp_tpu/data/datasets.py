@@ -80,6 +80,21 @@ def _find_dir(root: str, *candidates: str) -> str:
         f"there (no download path exists in this environment)")
 
 
+def _validate_split(name: str, x: np.ndarray, y: np.ndarray,
+                    img_shape: Tuple[int, ...], n_classes: int = 10) -> None:
+    """Fail loudly on malformed dataset files (truncated download, wrong
+    format) instead of producing garbage Grams downstream."""
+    if x.shape[1:] != img_shape:
+        raise ValueError(f"{name}: images have shape {x.shape[1:]}, "
+                         f"expected {img_shape}")
+    if len(x) != len(y):
+        raise ValueError(f"{name}: {len(x)} images but {len(y)} labels — "
+                         f"files are inconsistent/truncated")
+    if len(y) and not (0 <= y.min() and y.max() < n_classes):
+        raise ValueError(f"{name}: labels outside [0, {n_classes}) — "
+                         f"corrupt label file (range {y.min()}..{y.max()})")
+
+
 def load_mnist_arrays(root: str) -> Tuple[np.ndarray, np.ndarray,
                                           np.ndarray, np.ndarray]:
     """(train_x, train_y, test_x, test_y); x: [N, 1, 28, 28] float32/255."""
@@ -90,10 +105,13 @@ def load_mnist_arrays(root: str) -> Tuple[np.ndarray, np.ndarray,
         return (a.astype(np.float32) / 255.0)[:, None, :, :]
     def labels(name):
         return _read_idx(os.path.join(raw, name)).astype(np.int64)
-    return (imgs("train-images-idx3-ubyte"),
-            labels("train-labels-idx1-ubyte"),
-            imgs("t10k-images-idx3-ubyte"),
-            labels("t10k-labels-idx1-ubyte"))
+    tr_x, tr_y = imgs("train-images-idx3-ubyte"), \
+        labels("train-labels-idx1-ubyte")
+    te_x, te_y = imgs("t10k-images-idx3-ubyte"), \
+        labels("t10k-labels-idx1-ubyte")
+    _validate_split("MNIST train", tr_x, tr_y, (1, 28, 28))
+    _validate_split("MNIST test", te_x, te_y, (1, 28, 28))
+    return tr_x, tr_y, te_x, te_y
 
 
 def load_cifar10_arrays(root: str):
@@ -110,7 +128,10 @@ def load_cifar10_arrays(root: str):
 
     xs, ys = zip(*(batch(f"data_batch_{i}") for i in range(1, 6)))
     tx, ty = batch("test_batch")
-    return np.concatenate(xs), np.concatenate(ys), tx, ty
+    tr_x, tr_y = np.concatenate(xs), np.concatenate(ys)
+    _validate_split("CIFAR10 train", tr_x, tr_y, (3, 32, 32))
+    _validate_split("CIFAR10 test", tx, ty, (3, 32, 32))
+    return tr_x, tr_y, tx, ty
 
 
 def synthetic_arrays(n_train: int = 640, n_test: int = 128,
@@ -153,8 +174,18 @@ def _load_pool(datasets_path: str, config) -> ArrayDataset:
     # (reference: cnn_gp/data.py:147-158).
     x = np.concatenate([tr_x, te_x])
     y = np.concatenate([tr_y, te_y])
+    # The reference composes transforms per image (reference:
+    # cnn_gp/data.py:143-145).  Vectorised callables get the whole pool for
+    # speed; anything that doesn't preserve the batch dimension (or only
+    # works on single images) falls back to per-image application.
     for t in getattr(config, "transforms", []):
-        x = t(x)
+        try:
+            xt = np.asarray(t(x))
+            if xt.shape[:1] != x.shape[:1]:
+                raise ValueError("batch dim not preserved")
+        except Exception:
+            xt = np.stack([np.asarray(t(img)) for img in x])
+        x = xt.astype(np.float32, copy=False)
     return ArrayDataset(x, y)
 
 

@@ -69,8 +69,8 @@ def gram_device(model, X, Z=None, *, batch_size: int = 128) -> jax.Array:
     return k[:n1, :n2]
 
 
-@functools.partial(jax.jit, static_argnames=("n_classes",))
-def _solve_predict_jit(kxx, y_onehot, kzx_stack, jitter, n_classes):
+@jax.jit
+def _solve_predict_jit(kxx, y_onehot, kzx_stack, jitter):
     # scale-normalise for float32 conditioning (pure row/col scaling)
     s = jnp.mean(jnp.diagonal(kxx))
     k = kxx / s + jitter * jnp.eye(kxx.shape[0], dtype=kxx.dtype)
@@ -97,7 +97,7 @@ def classify_device(model, train_x, train_y, *splits,
     kzx = [gram_device(model, x, train_x, batch_size=batch_size)
            for x, _ in splits]
     if not refine:
-        preds = _solve_predict_jit(kxx, y, kzx, jitter, n_classes)
+        preds = _solve_predict_jit(kxx, y, kzx, jitter)
         return [float(np.mean(np.asarray(p) == np.asarray(lbl)))
                 for p, (_, lbl) in zip(preds, splits)]
     # float64 quality: factor the *resident* Kxx on device (no re-upload),

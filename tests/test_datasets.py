@@ -106,3 +106,39 @@ def test_transforms_applied(fake_mnist):
 
     ds = datasets.DatasetFromConfig(root, Cfg)
     assert ds.train.images.max() > 1.0
+
+
+def test_per_image_transform_fallback(fake_mnist):
+    """Single-image transforms (the reference's torchvision contract,
+    reference: cnn_gp/data.py:143-145) must work via per-image fallback."""
+    root, _, _ = fake_mnist
+
+    class Cfg:
+        dataset_name = "MNIST"
+        train_range = range(0, 10)
+        validation_range = range(10, 15)
+        test_range = range(15, 20)
+        # rejects batched input: only accepts a single [C, W, H] image
+        transforms = [lambda img: (_ for _ in ()).throw(ValueError)
+                      if img.ndim == 4 else img + 1.0]
+        in_channels = 1
+
+    ds = datasets.DatasetFromConfig(root, Cfg)
+    assert ds.train.images.min() >= 1.0
+
+
+def test_corrupt_labels_fail_loudly(fake_mnist, tmp_path):
+    root, tr, _ = fake_mnist
+    raw = os.path.join(root, "MNIST", "MNIST", "raw")
+    _write_idx_labels(os.path.join(raw, "train-labels-idx1-ubyte"),
+                      np.full(20, 77, np.uint8))   # labels out of range
+    with pytest.raises(ValueError, match="labels outside"):
+        datasets.load_mnist_arrays(os.path.join(root, "MNIST"))
+
+
+def test_truncated_images_fail_loudly(fake_mnist):
+    root, tr, _ = fake_mnist
+    raw = os.path.join(root, "MNIST", "MNIST", "raw")
+    _write_idx_images(os.path.join(raw, "train-images-idx3-ubyte"), tr[:7])
+    with pytest.raises(ValueError, match="inconsistent|truncated"):
+        datasets.load_mnist_arrays(os.path.join(root, "MNIST"))
