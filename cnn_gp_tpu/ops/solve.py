@@ -22,6 +22,11 @@ Methods:
   device (the O(N^3) part at MXU speed) + a few rounds of iterative
   refinement with float64 residuals on host (the O(N^2) part), recovering
   float64-quality solutions without float64 device math.
+* ``chol_dist`` -- the mesh-distributed blocked Cholesky + triangular
+  solves (parallel/chol_dist.py): row-sharded factorisation in bounded-size
+  device programs, Jacobi equilibration for the ~1e12 NNGP diagonal scale,
+  float64 host refinement.  Scales past one chip and past the
+  remote-compile limits that cap ``chol_ir``.
 """
 
 from __future__ import annotations
@@ -144,6 +149,13 @@ def solve_gp(kxx: np.ndarray, y: np.ndarray, jitter: float = 0.0,
         return _solve_chol(kxx, y, dtype)
     if method == "chol_ir":
         return _solve_chol_ir(kxx, y, iters=refine_iters)
+    if method == "chol_dist":
+        from ..parallel.chol_dist import chol_solve_dist
+        a, rel, _ = chol_solve_dist(kxx, y)   # jitter already applied above
+        if rel > 1e-6:
+            print(f"chol_dist: refinement stagnated at rel residual {rel:.2e}"
+                  " — consider a larger --jitter")
+        return a
     raise ValueError(f"unknown solve method {method!r}")
 
 

@@ -1,0 +1,258 @@
+"""Mesh-distributed blocked Cholesky and triangular solves.
+
+TPU-native replacement for the reference's single-process CPU LAPACK solve
+(reference: exp_mnist_resnet/classify_gp.py:17-27).  The train Gram is
+**row-sharded** over the mesh and factorised in place by a blocked
+right-looking Cholesky: at block step k the panel column is all-gathered,
+the diagonal block is factorised redundantly on every device (cheap,
+replicated), and the O(N^2 B) trailing update — where all the FLOPs are —
+runs as one MXU matmul per device on its local rows.  The whole
+factorisation is ONE jitted program (`lax.fori_loop` over block steps), so
+the compiled payload is bounded regardless of N — this matters on runtimes
+that ship programs over a network (see BASELINE.md on the tunnel's
+remote-compile limits, which killed whole-matrix `lax.linalg.cholesky`
+at 16k^2).
+
+Numerics: NNGP Grams of the paper configs have diagonals ~1e12
+(solve_dist.py).  We solve the Jacobi-equilibrated system
+``D^-1/2 (K + jitter I) D^-1/2`` (unit diagonal — equilibration
+approximately minimises the condition number over diagonal scalings),
+factorise in float32 on device (MXU speed), and recover float64-quality
+solutions by iterative refinement: float64 residuals on the host, float32
+correction solves against the device-resident factor.  This is the
+float32-TPU answer to the reference's "must be float64" assertion
+(classify_gp.py:19-23).
+
+Distributed triangular solves use the factor in place: forward/backward
+substitution over block rows, with the diagonal blocks returned replicated
+by the factorisation (no per-step re-gather) and one [N, nrhs] collective
+per block step.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import make_mesh
+
+__all__ = ["chol_solve_dist", "cholesky_sharded", "cholesky_solve_sharded"]
+
+
+def _pad_size(n: int, block: int, n_dev: int) -> int:
+    """Smallest N_pad >= n divisible by both ``block`` and ``n_dev``."""
+    step = block * n_dev // np.gcd(block, n_dev)
+    return int(-(-n // step) * step)
+
+
+def _factor_fn(axis: str, n_pad: int, block: int, rows_local: int):
+    nb = n_pad // block
+
+    def factor(k_loc):  # [rows_local, n_pad] local rows, lower tri valid
+        me = lax.axis_index(axis)
+        grow = me * rows_local + jnp.arange(rows_local)      # global rows
+        cols = jnp.arange(block)
+
+        def step(kb, carry):
+            k_loc, diags = carry
+            c0 = kb * block
+            # panel column, gathered: [n_pad, block]
+            pcol = lax.dynamic_slice(k_loc, (0, c0), (rows_local, block))
+            pfull = lax.all_gather(pcol, axis, axis=0, tiled=True)
+            dblk = lax.dynamic_slice(pfull, (c0, 0), (block, block))
+            lkk = jnp.linalg.cholesky(dblk)                  # replicated
+            # panel solve: X @ Lkk^T = panel  (local rows only)
+            x = lax.linalg.triangular_solve(lkk, pcol, left_side=False,
+                                            lower=True, transpose_a=True)
+            # keep only the lower triangle of the factor: row >= column
+            x = jnp.where(grow[:, None] >= c0 + cols[None, :], x, 0.0)
+            k_loc = lax.dynamic_update_slice(k_loc, x, (0, c0))
+            xfull = lax.all_gather(x, axis, axis=0, tiled=True)
+            # trailing update on rows/cols past this block, one MXU matmul
+            rmask = (grow >= c0 + block)[:, None]
+            cmask = (jnp.arange(n_pad) >= c0 + block)[:, None]
+            k_loc = k_loc - (x * rmask) @ (xfull * cmask).T
+            diags = lax.dynamic_update_slice(diags, lkk[None], (kb, 0, 0))
+            return k_loc, diags
+
+        diags0 = jnp.zeros((nb, block, block), k_loc.dtype)
+        return lax.fori_loop(0, nb, step, (k_loc, diags0))
+
+    return factor
+
+
+def _solve_fn(axis: str, n_pad: int, block: int, rows_local: int, nrhs: int):
+    nb = n_pad // block
+
+    def solve(l_loc, diags, b):  # b: [n_pad, nrhs] replicated
+        me = lax.axis_index(axis)
+        grow = me * rows_local + jnp.arange(rows_local)
+
+        def fwd(kb, b):          # L y = b, block forward substitution
+            c0 = kb * block
+            bk = lax.dynamic_slice(b, (c0, 0), (block, nrhs))
+            yk = lax.linalg.triangular_solve(diags[kb], bk, left_side=True,
+                                             lower=True)
+            pl = lax.dynamic_slice(l_loc, (0, c0), (rows_local, block))
+            contrib = (pl * (grow >= c0 + block)[:, None]) @ yk
+            b = b - lax.all_gather(contrib, axis, axis=0, tiled=True)
+            return lax.dynamic_update_slice(b, yk, (c0, 0))
+
+        def bwd(i, a):           # L^T a = y, block backward substitution
+            kb = nb - 1 - i
+            c0 = kb * block
+            pl = lax.dynamic_slice(l_loc, (0, c0), (rows_local, block))
+            a_loc = lax.dynamic_slice(a, (me * rows_local, 0),
+                                      (rows_local, nrhs))
+            part = lax.psum((pl * (grow >= c0 + block)[:, None]).T @ a_loc,
+                            axis)
+            yk = lax.dynamic_slice(a, (c0, 0), (block, nrhs))
+            ak = lax.linalg.triangular_solve(diags[kb], yk - part,
+                                             left_side=True, lower=True,
+                                             transpose_a=True)
+            return lax.dynamic_update_slice(a, ak, (c0, 0))
+
+        y = lax.fori_loop(0, nb, fwd, b)
+        return lax.fori_loop(0, nb, bwd, y)
+
+    return solve
+
+
+class _ShardedFactor:
+    """A device-resident sharded Cholesky factor plus its solve program."""
+
+    def __init__(self, mesh: Mesh, n: int, block: int):
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.n = n
+        self.block = block
+        n_dev = mesh.devices.size
+        self.n_pad = _pad_size(n, block, n_dev)
+        self.rows_local = self.n_pad // n_dev
+        self.l_loc = None
+        self.diags = None
+        self._solvers = {}
+
+    def factorize(self, ks32: np.ndarray) -> None:
+        """Upload (row-sharded, identity-padded) and factorise in place."""
+        n, n_pad = self.n, self.n_pad
+        k = np.zeros((n_pad, n_pad), np.float32)
+        k[:n, :n] = ks32
+        if n_pad > n:  # identity padding leaves the factor of K intact
+            k[np.arange(n, n_pad), np.arange(n, n_pad)] = 1.0
+        row = NamedSharding(self.mesh, P(self.axis, None))
+        k_dev = jax.device_put(k, row)
+        del k
+        fn = jax.jit(jax.shard_map(
+            _factor_fn(self.axis, n_pad, self.block, self.rows_local),
+            mesh=self.mesh, in_specs=P(self.axis, None),
+            out_specs=(P(self.axis, None), P()),
+            # the diag stack and solve outputs are replicated by
+            # construction (all devices compute them from all-gathered /
+            # psum'd values); skip the varying-manner check that cannot
+            # see through the fori_loop carry
+            check_vma=False),
+            donate_argnums=0)
+        self.l_loc, self.diags = fn(k_dev)
+
+    def solve(self, rhs: np.ndarray) -> np.ndarray:
+        """(L L^T)^{-1} rhs through the device factor (float32)."""
+        nrhs = rhs.shape[1]
+        if nrhs not in self._solvers:
+            self._solvers[nrhs] = jax.jit(jax.shard_map(
+                _solve_fn(self.axis, self.n_pad, self.block,
+                          self.rows_local, nrhs),
+                mesh=self.mesh, in_specs=(P(self.axis, None), P(), P()),
+                out_specs=P(), check_vma=False))
+        b = np.zeros((self.n_pad, nrhs), np.float32)
+        b[:self.n] = rhs
+        repl = NamedSharding(self.mesh, P())
+        a = self._solvers[nrhs](self.l_loc, self.diags,
+                                jax.device_put(b, repl))
+        return np.asarray(a)[:self.n]
+
+
+def cholesky_sharded(k: np.ndarray, mesh: Optional[Mesh] = None,
+                     block: int = 512) -> np.ndarray:
+    """Blocked mesh Cholesky of an SPD matrix; returns the lower factor
+    (float32, on host).  Mainly for tests — the solver path keeps the
+    factor on device via ``_ShardedFactor``."""
+    if mesh is None:
+        mesh = make_mesh()
+    f = _ShardedFactor(mesh, k.shape[0], block)
+    f.factorize(np.asarray(k, np.float32))
+    n = k.shape[0]
+    lfull = np.asarray(jax.device_put(
+        f.l_loc, NamedSharding(mesh, P())))   # gather local rows
+    return np.tril(lfull[:n, :n])
+
+
+def cholesky_solve_sharded(k: np.ndarray, rhs: np.ndarray,
+                           mesh: Optional[Mesh] = None,
+                           block: int = 512) -> np.ndarray:
+    """One-shot float32 factor + solve (no refinement).  For tests."""
+    if mesh is None:
+        mesh = make_mesh()
+    f = _ShardedFactor(mesh, k.shape[0], block)
+    f.factorize(np.asarray(k, np.float32))
+    return f.solve(np.asarray(rhs, np.float32))
+
+
+def chol_solve_dist(kxx: np.ndarray, y: np.ndarray, jitter: float = 0.0,
+                    mesh: Optional[Mesh] = None, block: int = 1024,
+                    refine_iters: int = 20, tol: float = 1e-10,
+                    ) -> Tuple[np.ndarray, float, int]:
+    """Solve (Kxx + jitter I) A = Y: distributed float32 Cholesky +
+    float64 iterative refinement.
+
+    ``kxx`` must be the full (symmetrised) matrix; it is **consumed**
+    (equilibrated in place, like ``solve_gp``).  Returns
+    ``(A, rel_residual, refinement_iterations)`` where ``rel_residual`` is
+    the float64 relative residual of the returned solution.
+
+    Refinement stops early once the residual reaches ``tol`` or stops
+    improving; ``refine_iters`` is a cap, not a target.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    kxx = np.asarray(kxx)
+    n = kxx.shape[0]
+    y64 = np.asarray(y, np.float64)
+
+    # Jacobi equilibration in float64, in place: Ks = D^-1/2 (K+jI) D^-1/2
+    if kxx.dtype != np.float64:
+        kxx = kxx.astype(np.float64)
+    kxx.flat[:: n + 1] += jitter
+    s = 1.0 / np.sqrt(kxx.flat[:: n + 1])
+    kxx *= s[:, None]
+    kxx *= s[None, :]
+    ys = s[:, None] * y64
+
+    factor = _ShardedFactor(mesh, n, block)
+    factor.factorize(kxx.astype(np.float32))
+
+    y_norm = np.linalg.norm(ys, axis=0)
+    y_norm[y_norm == 0] = 1.0
+
+    def residual(a):
+        r = ys - kxx @ a                     # float64 residual on host
+        return r, float(np.max(np.linalg.norm(r, axis=0) / y_norm))
+
+    a = factor.solve(ys.astype(np.float32)).astype(np.float64)
+    r, rel = residual(a)
+    best_a, best_rel = a, rel
+    iters = 0
+    while iters < refine_iters and best_rel > tol:
+        iters += 1
+        a = a + factor.solve(r.astype(np.float32)).astype(np.float64)
+        r, rel = residual(a)
+        if rel < best_rel:
+            best_a, best_rel = a, rel
+        elif rel > 0.9 * best_rel:           # stagnated; keep best iterate
+            break
+    return s[:, None] * best_a, best_rel, iters

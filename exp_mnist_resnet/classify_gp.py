@@ -67,5 +67,6 @@ if __name__ == "__main__":
     f.DEFINE_string("solver", "scipy",
                     "scipy (float64 LAPACK, reference parity) | chol "
                     "(device Cholesky) | chol_ir (float32 device Cholesky "
-                    "+ float64 iterative refinement)")
+                    "+ float64 iterative refinement) | chol_dist "
+                    "(mesh-distributed blocked Cholesky + refinement)")
     absl.app.run(main)

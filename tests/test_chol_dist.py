@@ -1,0 +1,122 @@
+"""Mesh-distributed blocked Cholesky tests (8-device virtual CPU mesh).
+
+Validates the TPU-native direct solve against float64 LAPACK — including on
+a real paper-config NNGP Gram whose diagonal reaches ~1e12, the regime the
+reference's float64 assertion exists for (reference:
+exp_mnist_resnet/classify_gp.py:19-23).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+import cnn_gp_tpu as G
+from cnn_gp_tpu.data import synthetic_arrays
+from cnn_gp_tpu.ops import solve
+from cnn_gp_tpu.parallel import (chol_solve_dist, cholesky_sharded,
+                                 cholesky_solve_sharded, gram_in_memory,
+                                 make_mesh)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device backend")
+    return make_mesh()
+
+
+def _spd(n, seed=0, scale=None):
+    r = np.random.RandomState(seed)
+    a = r.randn(n, n)
+    k = a @ a.T / n + np.eye(n)
+    if scale is not None:
+        d = np.sqrt(10 ** r.uniform(scale - 2, scale, n))
+        k = d[:, None] * k * d[None, :]
+    return k
+
+
+@pytest.mark.parametrize("n,block", [(64, 16), (100, 16), (37, 8), (130, 32)])
+def test_factor_matches_lapack(mesh, n, block):
+    """Blocked mesh factor == np.linalg.cholesky, incl. N not divisible by
+    block or device count (identity-padding path)."""
+    k = _spd(n, seed=n)
+    got = cholesky_sharded(k, mesh, block=block)
+    want = np.linalg.cholesky(k)
+    np.testing.assert_allclose(got, want, rtol=1e-4,
+                               atol=1e-5 * np.abs(want).max())
+
+
+def test_f32_solve_matches(mesh):
+    k = _spd(90, seed=3)
+    y = np.random.RandomState(4).randn(90, 10)
+    got = cholesky_solve_sharded(k, y, mesh, block=16)
+    want = np.linalg.solve(k, y)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_refined_solve_float64_parity(mesh):
+    """With refinement the distributed solve must match float64 LAPACK to
+    ~1e-8 relative — the round-2 'done' bar (VERDICT.md #1)."""
+    k = _spd(120, seed=5)
+    y = solve.one_hot_targets(np.arange(120) % 10)
+    want = np.linalg.solve(k, y)
+    got, rel, iters = chol_solve_dist(k.copy(), y, mesh=mesh, block=16)
+    assert rel < 1e-10, rel
+    np.testing.assert_allclose(got, want, rtol=1e-8,
+                               atol=1e-10 * np.abs(want).max())
+
+
+def test_nngp_scale_diagonal(mesh):
+    """Diagonal ~1e12 (paper-config Gram scale): equilibration + refinement
+    must still reach float64-quality solutions."""
+    k = _spd(96, seed=7, scale=12)
+    y = solve.one_hot_targets(np.arange(96) % 10)
+    want = np.linalg.solve(k + 1e4 * np.eye(96), y)
+    got, rel, _ = chol_solve_dist(k.copy(), y, jitter=1e4, mesh=mesh,
+                                  block=16)
+    assert rel < 1e-10, rel
+    np.testing.assert_allclose(got, want, rtol=1e-7,
+                               atol=1e-9 * np.abs(want).max())
+
+
+def test_real_paper_gram(mesh):
+    """End-to-end on a real `mnist_paper_convnet_gp`-style Gram (values
+    ~1e12): chol_dist == scipy float64 solutions and predictions."""
+    import configs
+    model = configs.load("mnist_paper_convnet_gp").initial_model
+    tr_x, tr_y, te_x, te_y = synthetic_arrays(
+        n_train=64, n_test=24, shape=(1, 28, 28), seed=11)
+    kxx = np.asarray(gram_in_memory(model, tr_x, batch_size=32,
+                                    progress=False), np.float64)
+    kzx = np.asarray(gram_in_memory(model, te_x, tr_x, batch_size=32,
+                                    progress=False), np.float64)
+    assert kxx.flat[0] > 1e11          # genuinely at the paper's scale
+    y = solve.one_hot_targets(tr_y)
+
+    a_ref = solve.solve_gp(kxx.copy(), y, method="scipy")
+    a_got, rel, iters = chol_solve_dist(kxx.copy(), y, mesh=mesh, block=16)
+    assert rel < 1e-10, rel
+    scale = np.abs(a_ref).max()
+    np.testing.assert_allclose(a_got, a_ref, rtol=1e-6, atol=1e-8 * scale)
+    np.testing.assert_array_equal(solve.predict(kzx, a_got),
+                                  solve.predict(kzx, a_ref))
+
+
+def test_solve_gp_method_chol_dist(mesh):
+    """--solver=chol_dist path through ops.solve.solve_gp."""
+    k = _spd(64, seed=13)
+    y = solve.one_hot_targets(np.arange(64) % 10)
+    want = np.linalg.solve(k + 0.1 * np.eye(64), y)
+    got = solve.solve_gp(k.copy(), y, jitter=0.1, method="chol_dist")
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+
+
+def test_single_device_mesh():
+    """The blocked program must also run on a 1-device mesh (the real
+    single-chip deployment)."""
+    mesh1 = make_mesh(n_devices=1)
+    k = _spd(50, seed=17)
+    y = np.random.RandomState(18).randn(50, 3)
+    got, rel, _ = chol_solve_dist(k.copy(), y, mesh=mesh1, block=16)
+    np.testing.assert_allclose(got, np.linalg.solve(k, y),
+                               rtol=1e-8, atol=1e-10)
