@@ -158,7 +158,10 @@ class _ShardedFactor:
             # see through the fori_loop carry
             check_vma=False),
             donate_argnums=0)
-        self.l_loc, self.diags = fn(k_dev)
+        # TPU f32 matmuls default to bf16 accumulation -- fatal inside a
+        # Cholesky (SURVEY.md "hard parts"); trace at full f32 precision
+        with jax.default_matmul_precision("highest"):
+            self.l_loc, self.diags = fn(k_dev)
 
     def solve(self, rhs: np.ndarray) -> np.ndarray:
         """(L L^T)^{-1} rhs through the device factor (float32)."""
@@ -172,8 +175,9 @@ class _ShardedFactor:
         b = np.zeros((self.n_pad, nrhs), np.float32)
         b[:self.n] = rhs
         repl = NamedSharding(self.mesh, P())
-        a = self._solvers[nrhs](self.l_loc, self.diags,
-                                jax.device_put(b, repl))
+        with jax.default_matmul_precision("highest"):
+            a = self._solvers[nrhs](self.l_loc, self.diags,
+                                    jax.device_put(b, repl))
         return np.asarray(a)[:self.n]
 
 

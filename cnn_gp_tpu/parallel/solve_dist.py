@@ -28,8 +28,7 @@ from .mesh import make_mesh
 __all__ = ["cg_solve_sharded"]
 
 
-@functools.partial(jax.jit, static_argnames=("maxiter",),
-                   donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("maxiter",))
 def _cg(k, y, jitter, tol, maxiter):
     diag = jnp.diagonal(k) + jitter
     minv = (1.0 / diag)[:, None]
@@ -92,6 +91,9 @@ def cg_solve_sharded(kxx: np.ndarray, y: np.ndarray, jitter: float = 0.0,
     repl = NamedSharding(mesh, P())
     k_d = jax.device_put(jnp.asarray(kxx, dtype), row)
     y_d = jax.device_put(jnp.asarray(y, dtype), repl)
-    x, rel, iters = _cg(k_d, y_d, jnp.asarray(jitter, dtype),
-                        jnp.asarray(tol, dtype), maxiter)
+    # full f32 matvec precision: TPU's default bf16 accumulation stalls or
+    # diverges CG on ill-conditioned Grams (measured at 4k, BASELINE.md)
+    with jax.default_matmul_precision("highest"):
+        x, rel, iters = _cg(k_d, y_d, jnp.asarray(jitter, dtype),
+                            jnp.asarray(tol, dtype), maxiter)
     return np.asarray(x)[:n], float(rel), int(iters)

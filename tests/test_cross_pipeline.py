@@ -1,0 +1,31 @@
+"""Cross-pipeline accuracy equivalence (slow): the reference's OWN
+unmodified save_kernel -> classify_gp drivers (torch CPU, run via
+scripts/run_reference_pipeline.py shims) against this framework's pipeline
+on the same synthetic IDX files — equal accuracies, 1e-5 Gram parity on
+every persisted dataset.  The strongest paper-parity proxy available
+without the real datasets (VERDICT.md round-1, "Next round" #3); the
+1k-scale run is recorded in BASELINE.md.
+"""
+
+import os
+
+import pytest
+
+REFERENCE = "/root/reference"
+
+
+@pytest.mark.slow
+def test_pipelines_equivalent():
+    if not os.path.exists(os.path.join(REFERENCE, "exp_mnist_resnet",
+                                       "save_kernel.py")):
+        pytest.skip("reference implementation not available")
+    import tempfile
+
+    from scripts.cross_pipeline import run_equivalence
+
+    with tempfile.TemporaryDirectory() as workdir:
+        ref_accs, our_accs, rels = run_equivalence(
+            workdir, config="mnist_paper_convnet_gp",
+            n_train=512, n_val=128, n_test=64, batch=64, verbose=False)
+    assert ref_accs == our_accs
+    assert max(rels.values()) < 1e-5
