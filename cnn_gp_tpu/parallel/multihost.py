@@ -7,6 +7,17 @@ runtime, derives its worker identity from the process index, and the
 existing contiguous-span tile partition (parallel/scheduler.py) plus the
 NaN-merge store give cross-host assembly with no other communication.
 Within each host, the local mesh shards its span further via shard_map.
+
+Launch recipe (wired into exp_mnist_resnet/save_kernel.py; tested by
+tests/test_multihost.py with a real 2-process fleet):
+
+    # TPU pod (topology auto-discovered):
+    python -m exp_mnist_resnet.save_kernel --coordinator_address=$COORD ...
+    # CPU / explicit fleets, one line per host:
+    python -m exp_mnist_resnet.save_kernel \
+        --coordinator_address=host0:12345 --num_processes=4 --process_id=$I \
+        --out_path=out/$(printf %02d $I)_nw04.h5 ...
+    # then merge shards + classify exactly as run.bash does.
 """
 
 from __future__ import annotations

@@ -1,0 +1,81 @@
+"""Real multi-host execution: a 2-process `jax.distributed` fleet drives
+save_kernel with ranks derived from the process topology (VERDICT.md
+round-1 #4 'make multi-host real').
+
+The TPU-native counterpart of the reference's bash worker fan-out
+(reference: exp_mnist_resnet/run.bash:27-43): process identity comes from
+`jax.distributed` instead of a --worker_rank flag, the contiguous-span
+tile partition and NaN-merge semantics are unchanged.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_distributed_assembly(tmp_path):
+    port = _free_port()
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)    # one local device per process
+
+    def launch(rank):
+        out = str(tmp_path / f"w{rank:02d}.h5")
+        return out, subprocess.Popen(
+            [sys.executable, "-m", "exp_mnist_resnet.save_kernel",
+             "--config=synthetic", f"--datasets_path={tmp_path}",
+             "--batch_size=128", f"--out_path={out}",
+             f"--coordinator_address=localhost:{port}",
+             "--num_processes=2", f"--process_id={rank}"],
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+
+    procs = [launch(0), launch(1)]
+    outs = []
+    for out_path, p in procs:
+        stdout, _ = p.communicate(timeout=900)
+        assert p.returncode == 0, stdout[-3000:]
+        outs.append((out_path, stdout))
+
+    for rank, (_, stdout) in enumerate(outs):
+        assert f"jax.distributed: worker {rank}/2" in stdout, stdout[-1500:]
+
+    # merge the two shards and check the result is complete and correct
+    from cnn_gp_tpu.data import GramStore, merge_stores
+
+    dest, src = outs[0][0], outs[1][0]
+    with GramStore(dest, "r") as d:
+        # each worker computed a strict subset: neither file is complete
+        with pytest.raises(RuntimeError):
+            d.assert_complete("Kxx", upper_triangle_only=True)
+    merge_stores(dest, [src])
+    with GramStore(dest, "r") as d:
+        d.assert_complete("Kxx", upper_triangle_only=True)
+        d.assert_complete("Kxvx")
+        d.assert_complete("Kxtx")
+        kxx = d.read("Kxx")
+
+    # single-process ground truth
+    import configs
+    from cnn_gp_tpu.data import DatasetFromConfig
+    from cnn_gp_tpu.parallel import gram_in_memory
+
+    cfg = configs.load("synthetic")
+    ds = DatasetFromConfig(str(tmp_path), cfg)
+    want = np.asarray(gram_in_memory(cfg.initial_model, ds.train.images,
+                                     batch_size=128, progress=False))
+    iu = np.triu_indices(len(want))
+    scale = np.abs(want).max()
+    assert np.abs(kxx[iu] - want[iu]).max() / scale < 1e-5
