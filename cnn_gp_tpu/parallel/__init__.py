@@ -5,5 +5,6 @@ from .gram_sharded import compute_gram_sharded  # noqa: F401
 from .device_pipeline import gram_device, classify_device  # noqa: F401
 from .mesh import make_mesh, TILE_AXIS  # noqa: F401
 from .solve_dist import cg_solve_sharded  # noqa: F401
-from .chol_dist import (chol_solve_dist, cholesky_sharded,
+from .chol_dist import (chol_solve_dist, chol_solve_ir32,
+                        chol_solve_dist_from_store, cholesky_sharded,
                         cholesky_solve_sharded)  # noqa: F401

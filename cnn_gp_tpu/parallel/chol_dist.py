@@ -41,7 +41,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import make_mesh
 
-__all__ = ["chol_solve_dist", "cholesky_sharded", "cholesky_solve_sharded"]
+__all__ = ["chol_solve_dist", "chol_solve_ir32", "chol_solve_dist_from_store",
+           "cholesky_sharded", "cholesky_solve_sharded"]
 
 
 def _pad_size(n: int, block: int, n_dev: int) -> int:
@@ -138,18 +139,57 @@ class _ShardedFactor:
         self.diags = None
         self._solvers = {}
 
+    def _upload_rows(self, make_rows):
+        """Build the row-sharded device matrix one device shard at a time
+        (blocked host->device I/O: never a second whole-matrix host copy).
+
+        ``make_rows(r0, r1) -> float32 [r1-r0, n_pad]`` produces global
+        rows [r0, r1) already padded/identity-extended.
+        """
+        row = NamedSharding(self.mesh, P(self.axis, None))
+        shards = []
+        for d, dev in enumerate(self.mesh.devices.flat):
+            r0 = d * self.rows_local
+            shards.append(jax.device_put(
+                make_rows(r0, r0 + self.rows_local), dev))
+        return jax.make_array_from_single_device_arrays(
+            (self.n_pad, self.n_pad), row, shards)
+
     def factorize(self, ks32: np.ndarray) -> None:
         """Upload (row-sharded, identity-padded) and factorise in place."""
         n, n_pad = self.n, self.n_pad
-        k = np.zeros((n_pad, n_pad), np.float32)
-        k[:n, :n] = ks32
-        if n_pad > n:  # identity padding leaves the factor of K intact
-            k[np.arange(n, n_pad), np.arange(n, n_pad)] = 1.0
-        row = NamedSharding(self.mesh, P(self.axis, None))
-        k_dev = jax.device_put(k, row)
-        del k
+
+        def make_rows(r0, r1):
+            out = np.zeros((r1 - r0, n_pad), np.float32)
+            if r0 < n:
+                out[:n - r0, :n] = ks32[r0:min(r1, n)]
+            pad = np.arange(max(r0, n), r1)   # identity padding leaves the
+            out[pad - r0, pad] = 1.0          # factor of K intact
+            return out
+
+        self._factorize_dev(self._upload_rows(make_rows))
+
+    def factorize_scaled(self, k32: np.ndarray, s32: np.ndarray) -> None:
+        """Factorise diag(s) K diag(s) without materialising the scaled
+        matrix on host: each device shard is scaled during upload, and the
+        scaled diagonal is pinned to exactly 1 (Jacobi equilibration)."""
+        n, n_pad = self.n, self.n_pad
+
+        def make_rows(r0, r1):
+            out = np.zeros((r1 - r0, n_pad), np.float32)
+            if r0 < n:
+                hi = min(r1, n)
+                out[:hi - r0, :n] = (k32[r0:hi] * s32[r0:hi, None]
+                                     * s32[None, :])
+            diag = np.arange(r0, r1)          # unit diagonal (rows >= n:
+            out[diag - r0, diag] = 1.0        # identity padding)
+            return out
+
+        self._factorize_dev(self._upload_rows(make_rows))
+
+    def _factorize_dev(self, k_dev) -> None:
         fn = jax.jit(jax.shard_map(
-            _factor_fn(self.axis, n_pad, self.block, self.rows_local),
+            _factor_fn(self.axis, self.n_pad, self.block, self.rows_local),
             mesh=self.mesh, in_specs=P(self.axis, None),
             out_specs=(P(self.axis, None), P()),
             # the diag stack and solve outputs are replicated by
@@ -260,3 +300,78 @@ def chol_solve_dist(kxx: np.ndarray, y: np.ndarray, jitter: float = 0.0,
         elif rel > 0.9 * best_rel:           # stagnated; keep best iterate
             break
     return s[:, None] * best_a, best_rel, iters
+
+
+def chol_solve_ir32(k32: np.ndarray, y: np.ndarray, jitter: float = 0.0,
+                    mesh: Optional[Mesh] = None, block: int = 1024,
+                    refine_iters: int = 20, tol: float = 1e-10,
+                    io_rows: int = 8192) -> Tuple[np.ndarray, float, int]:
+    """Memory-lean large-N variant: solve (K + jitter I) A = Y where ``k32``
+    is the full symmetrised **float32** matrix (e.g. straight from the Gram
+    store, whose data is float32 anyway — as is the reference's,
+    reference: kernel_save_tools.py:13-23).
+
+    Never materialises a float64 copy (half the host footprint of the
+    load-as-float64 path: 10 GB instead of 20 at N=50k).  The device factor
+    is built from per-shard scaled uploads; refinement residuals are
+    computed blockwise in float64 upcasts of the raw float32 rows, so the
+    returned solution solves the float64 embedding of the float32 data to
+    ``tol`` — identical to upcasting first, without the 2x memory.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    assert k32.dtype == np.float32, k32.dtype
+    n = k32.shape[0]
+    y64 = np.asarray(y, np.float64)
+    d64 = np.ascontiguousarray(np.diagonal(k32)).astype(np.float64) + jitter
+    s = 1.0 / np.sqrt(d64)
+    s32 = s.astype(np.float32)
+
+    factor = _ShardedFactor(mesh, n, block)
+    factor.factorize_scaled(k32, s32)
+
+    y_norm = np.linalg.norm(y64, axis=0)
+    y_norm[y_norm == 0] = 1.0
+
+    def residual(a):                          # blocked float64 upcast
+        r = np.empty_like(y64)
+        for i0 in range(0, n, io_rows):
+            i1 = min(i0 + io_rows, n)
+            r[i0:i1] = y64[i0:i1] - k32[i0:i1].astype(np.float64) @ a
+        if jitter:
+            r -= jitter * a
+        return r, float(np.max(np.linalg.norm(r, axis=0) / y_norm))
+
+    def precond(r64):                         # scaled-space correction
+        return s[:, None] * factor.solve(
+            (s[:, None] * r64).astype(np.float32)).astype(np.float64)
+
+    a = precond(y64)
+    r, rel = residual(a)
+    best_a, best_rel = a, rel
+    iters = 0
+    while iters < refine_iters and best_rel > tol:
+        iters += 1
+        a = a + precond(r)
+        r, rel = residual(a)
+        if rel < best_rel:
+            best_a, best_rel = a, rel
+        elif rel > 0.9 * best_rel:
+            break
+    return best_a, best_rel, iters
+
+
+def chol_solve_dist_from_store(store, name: str, y: np.ndarray,
+                               jitter: float = 0.0,
+                               mesh: Optional[Mesh] = None,
+                               block: int = 1024, **kw
+                               ) -> Tuple[np.ndarray, float, int]:
+    """Blocked-I/O classify path (round-1 VERDICT #7): read the
+    upper-triangle Gram from the store as float32, mirror it, and solve via
+    ``chol_solve_ir32`` — the full float64 Gram (20 GB at 50k) is never
+    materialised, unlike the reference's load_kern
+    (reference: exp_mnist_resnet/classify_gp.py:45-48,63)."""
+    from ..ops.solve import symmetrize_from_upper
+    k32 = symmetrize_from_upper(store.read(name))       # ONE float32 copy
+    return chol_solve_ir32(k32, y, jitter=jitter, mesh=mesh, block=block,
+                           **kw)

@@ -35,13 +35,25 @@ def main(_):
         f.assert_complete("Kxx", upper_triangle_only=True)
         f.assert_complete("Kxvx")
         f.assert_complete("Kxtx")
-        print("Loading kernel")
-        kxx = solve.symmetrize_from_upper(f.read("Kxx", dtype=np.float64))
-
-        print("Solving Kxx^{-1} Y")
-        a = solve.solve_gp(kxx, y_1hot, jitter=FLAGS.jitter,
-                           method=FLAGS.solver)
-        del kxx
+        if FLAGS.solver == "chol_dist":
+            # blocked-I/O large-N path: one float32 copy of the Gram (the
+            # store's native dtype), never the 2x float64 materialisation
+            from cnn_gp_tpu.parallel import chol_solve_dist_from_store
+            print("Solving Kxx^{-1} Y (mesh-distributed blocked Cholesky)")
+            a, rel, iters = chol_solve_dist_from_store(
+                f, "Kxx", y_1hot, jitter=FLAGS.jitter)
+            print(f"refined to rel residual {rel:.2e} in {iters} iterations")
+            if rel > 1e-6:
+                print("warning: refinement stagnated -- consider a larger "
+                      "--jitter")
+        else:
+            print("Loading kernel")
+            kxx = solve.symmetrize_from_upper(
+                f.read("Kxx", dtype=np.float64))
+            print("Solving Kxx^{-1} Y")
+            a = solve.solve_gp(kxx, y_1hot, jitter=FLAGS.jitter,
+                               method=FLAGS.solver)
+            del kxx
 
         _, yv = DatasetFromConfig.load_full(dataset.validation)
         kxvx = f.read("Kxvx", dtype=np.float64)

@@ -33,14 +33,22 @@ def _assemble(model, n, n_test, batch, in_channels, side=28):
     synthetic inputs (conditioning depends on the architecture and input
     statistics, not on which digits the pixels draw)."""
     from cnn_gp_tpu.data import synthetic_arrays
-    from cnn_gp_tpu.parallel import gram_device
+    from cnn_gp_tpu.parallel import gram_device, gram_in_memory
 
     tr_x, tr_y, te_x, te_y = synthetic_arrays(
         n_train=n, n_test=n_test, shape=(in_channels, side, side), seed=0)
     t0 = time.perf_counter()
-    kxx = np.asarray(gram_device(model, tr_x, batch_size=batch), np.float64)
-    kzx = np.asarray(gram_device(model, te_x, tr_x, batch_size=batch),
-                     np.float64)
+    if n <= 16384:   # measured fine at 16k
+        kxx = np.asarray(gram_device(model, tr_x, batch_size=batch),
+                         np.float64)
+        kzx = np.asarray(gram_device(model, te_x, tr_x, batch_size=batch),
+                         np.float64)
+    else:   # stream tiles: a device-resident N^2 Gram + one huge fetch
+        # destabilises tunneled runtimes at this scale (measured at 32k)
+        kxx = np.asarray(gram_in_memory(model, tr_x, batch_size=batch,
+                                        progress=False), np.float64)
+        kzx = np.asarray(gram_in_memory(model, te_x, tr_x, batch_size=batch,
+                                        progress=False), np.float64)
     print(f"assembled Kxx {kxx.shape} + Kzx {kzx.shape} in "
           f"{time.perf_counter() - t0:.1f}s")
     return kxx, kzx, tr_y, te_y
