@@ -1,9 +1,12 @@
-"""Headline benchmark: ResNet-32 GP Gram throughput (entries/sec/chip).
+"""Headline benchmark: Gram throughput (entries/sec/chip) across workloads.
 
-Measures steady-state Gram tile computation for the flagship `mnist_as_tf`
-ResNet-32 NNGP on synthetic MNIST-shaped data (throughput is independent of
-pixel values), batch 200x200 tiles -- the reference's default unit of work
-(reference: exp_mnist_resnet/save_kernel.py:43-45).
+Measures steady-state Gram tile computation for three workloads:
+
+* `resnet32`   -- the flagship `mnist_as_tf` ResNet-32 NNGP on 28x28x1
+  (the headline metric, same as round 1);
+* `convnet_gp` -- the paper ConvNet GP (7x Conv7+ReLU) on 28x28x1;
+* `cifar10`    -- the ResNet-32 CIFAR config on 32x32x3
+  (reference: configs/cifar10.py).
 
 Timing protocol: the tunneled TPU platform acknowledges dispatches
 asynchronously and `block_until_ready` may return before remote execution
@@ -11,13 +14,20 @@ finishes, so we time the *marginal* cost -- (time of N2 dispatches + one
 fetch) - (time of N1 dispatches + one fetch) over (N2 - N1) tiles -- which
 cancels both compile and round-trip latency.
 
-`vs_baseline` compares against the reference implementation executing the
-same workload (see BASELINE.md: the reference publishes no throughput
-numbers, so the baseline is our measurement of the reference's PyTorch
-code on this container's CPU: 1,413 entries/s, single-thread torch 2.13).
+Alongside entries/s the script reports XLA's own FLOP estimate for the
+compiled tile program (`compiled.cost_analysis()['flops']`) divided by the
+measured tile time -- an achieved-compute figure the "VPU roofline" claim
+can be checked against (BASELINE.md "Roofline status"), and its ratio to a
+nominal 4e12 ops/s v5e VPU peak.
 
-Prints one JSON line:
-  {"metric": ..., "value": N, "unit": "entries/s/chip", "vs_baseline": N}
+`vs_baseline` compares the headline metric against the reference
+implementation executing the same workload (see BASELINE.md: the reference
+publishes no throughput numbers, so the baseline is our measurement of the
+reference's PyTorch code on this container's CPU: 1,413 entries/s).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "entries/s/chip", "vs_baseline": N,
+   "breakdown": {...}, "flops_per_sec": {...}, "vpu_util_vs_4e12": {...}}
 """
 
 import json
@@ -33,6 +43,13 @@ REFERENCE_ENTRIES_PER_SEC = 1413.0
 BATCH = 128  # autotuned: pair dim 128*128 aligns with the lane width (BASELINE.md)
 N_WARM = 2
 N1, N2 = 6, 18
+VPU_PEAK = 4.0e12  # nominal v5e f32 VPU ops/s (8x128 lanes x 4 ALUs x ~1GHz)
+
+WORKLOADS = {
+    "resnet32": ("mnist_as_tf", (1, 28, 28)),
+    "convnet_gp": ("mnist_paper_convnet_gp", (1, 28, 28)),
+    "cifar10": ("cifar10", (3, 32, 32)),
+}
 
 
 class _Watchdog:
@@ -55,15 +72,16 @@ class _Watchdog:
         return False
 
 
-def _measure():
+def _measure(config_name, shape):
     import jax
     import configs
     from cnn_gp_tpu import settings
     from cnn_gp_tpu.parallel.gram import _tile_jit
 
-    model = configs.load("mnist_as_tf").initial_model
+    model = configs.load(config_name).initial_model
     rng = np.random.RandomState(0)
-    x = jax.device_put(rng.rand(BATCH * 4, 1, 28, 28).astype(np.float32))
+    x = jax.device_put(
+        rng.rand(BATCH * 4, *shape).astype(np.float32))
     snap = settings.snapshot()
 
     def run(n):
@@ -80,27 +98,52 @@ def _measure():
     t1 = run(N1)
     t2 = run(N2)
     per_tile = (t2 - t1) / (N2 - N1)
-    return BATCH * BATCH / per_tile
+
+    # XLA's own FLOP estimate for the compiled tile program
+    flops = None
+    try:
+        lowered = jax.jit(
+            lambda a, i, j: _tile_jit(model, a, a, i, j, BATCH, True, snap)
+        ).lower(x, 0, BATCH)
+        cost = lowered.compile().cost_analysis()
+        if cost:
+            flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    return BATCH * BATCH / per_tile, per_tile, flops
 
 
 def main():
-    value = None
-    for attempt, budget in enumerate((420, 420, 600)):
-        try:
-            with _Watchdog(budget):
-                value = _measure()
-            break
-        except TimeoutError as e:
-            import sys
-            print(f"bench attempt {attempt}: {e}", file=sys.stderr,
-                  flush=True)
-    if value is None:
-        raise SystemExit("bench: all attempts stalled")
+    results = {}
+    for name, (config_name, shape) in WORKLOADS.items():
+        for attempt, budget in enumerate((420, 420, 600)):
+            try:
+                with _Watchdog(budget):
+                    results[name] = _measure(config_name, shape)
+                break
+            except TimeoutError as e:
+                import sys
+                print(f"bench[{name}] attempt {attempt}: {e}",
+                      file=sys.stderr, flush=True)
+        if name == "resnet32" and name not in results:
+            raise SystemExit("bench: headline workload stalled")
+
+    value, _, _ = results["resnet32"]
+    flops_per_sec = {}
+    vpu_util = {}
+    for name, (_, per_tile, flops) in results.items():
+        if flops:
+            fps = flops / per_tile
+            flops_per_sec[name] = round(fps / 1e12, 3)       # T ops/s
+            vpu_util[name] = round(fps / VPU_PEAK, 3)
     print(json.dumps({
         "metric": "gram_entries_per_sec_per_chip_resnet32_gp",
         "value": round(value, 1),
         "unit": "entries/s/chip",
         "vs_baseline": round(value / REFERENCE_ENTRIES_PER_SEC, 2),
+        "breakdown": {name: round(r[0], 1) for name, r in results.items()},
+        "xla_tflops_per_sec": flops_per_sec,
+        "vpu_util_vs_4e12_peak": vpu_util,
     }))
 
 

@@ -12,14 +12,13 @@ the rsqrt, the cosine clamped to [-1, 1], the sine argument clamped >= 0,
 and the *same-example* entries overwritten with ``xx'`` so the Gram diagonal
 stays exactly consistent (reference: cnn_gp/kernels.py:146-162).
 
-Two lowerings:
-
-* ``xla``    -- plain jnp; XLA fuses the whole chain into one elementwise
-  loop.  Works on every backend; used on CPU and as the reference point.
-* ``pallas`` -- a fused Pallas TPU kernel over ``[Nx, Ny, W*H]`` tiles that
-  keeps the broadcasted row/column variances and the diag-mask fix in VMEM.
-  Mosaic has no ``acos`` primitive, so the kernel evaluates a Cephes-style
-  polynomial arccos (sqrt + fma only, ~1 ulp float32); see ``acos_f32``.
+Lowering: plain jnp — XLA fuses the whole chain into one elementwise loop
+on every backend.  A standalone Pallas kernel measured 2x SLOWER (fusion
+barrier; round 1) and the whole-network fused Pallas megakernel measured
+0.84x (round 2, ops/megakernel.py + BASELINE.md "Megakernel verdict"), so
+XLA is the only production lowering.  ``acos_f32`` is the Cephes-style
+polynomial arccos (sqrt + fma only, ~1 ulp float32) that both this path
+(settings.acos_impl="poly") and the megakernel evaluate.
 
 The same-example fix-up is driven by a ``[Nx, Ny]`` mask (see
 ``KernelPatch.diag_mask``) instead of the reference's eye matrix, so one
@@ -34,8 +33,6 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from ..kernel_patch import KernelPatch
 
@@ -128,84 +125,20 @@ def _relu_xla(kp: KernelPatch) -> KernelPatch:
 
 
 # ---------------------------------------------------------------------------
-# Pallas lowering (TPU)
-# ---------------------------------------------------------------------------
-
-def _relu_kernel(xy_ref, xx_ref, yy_ref, mask_ref, out_ref):
-    xx = xx_ref[:]              # [TI, 1, TS]
-    yy = yy_ref[:]              # [1, Ny, TS]
-    xy = xy_ref[:]              # [TI, Ny, TS]
-    xx_yy = xx * yy + F32_TINY
-    new_xy = _xy_update(xy, xx_yy, acos_f32)
-    mask = mask_ref[:]          # [TI, Ny] float {0, 1}
-    out_ref[:] = jnp.where(mask[:, :, None] > 0.5,
-                           jnp.broadcast_to(xx * 0.5, new_xy.shape), new_xy)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _relu_xy_pallas(xy3, xx3, yy3, maskf, *, interpret=False):
-    """xy3: [Nx, Ny, S]; xx3: [Nx, 1, S]; yy3: [1, Ny, S]; maskf: [Nx, Ny]."""
-    nx, ny, s = xy3.shape
-    tile_i = min(8, nx)
-    tile_s = 128 if s >= 128 else s
-    grid = (pl.cdiv(nx, tile_i), pl.cdiv(s, tile_s))
-    return pl.pallas_call(
-        _relu_kernel,
-        out_shape=jax.ShapeDtypeStruct((nx, ny, s), xy3.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile_i, ny, tile_s), lambda i, j: (i, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_i, 1, tile_s), lambda i, j: (i, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ny, tile_s), lambda i, j: (0, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_i, ny), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile_i, ny, tile_s), lambda i, j: (i, 0, j),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(xy3, xx3, yy3, maskf)
-
-
-def _relu_pallas(kp: KernelPatch, interpret: bool = False) -> KernelPatch:
-    if kp.diag:          # tiny; not worth a kernel
-        return _relu_xla(kp)
-    nx, ny = kp.nx, kp.ny
-    w, h = kp.spatial
-    s = w * h
-    mask = kp.resolve_diag_mask()
-    maskf = (mask.astype(jnp.float32) if mask is not None
-             else jnp.zeros((nx, ny), jnp.float32))
-    xy = _relu_xy_pallas(
-        kp.xy.reshape(nx, ny, s), kp.xx.reshape(nx, 1, s),
-        kp.yy.reshape(1, ny, s), maskf,
-        interpret=interpret).reshape(nx, ny, w, h)
-    xx_half = kp.xx * 0.5
-    yy_half = xx_half if kp.same else kp.yy * 0.5
-    return KernelPatch(xy, xx_half, yy_half, kp.same, kp.diag, kp.diag_mask)
-
-
-# ---------------------------------------------------------------------------
 # Dispatch
 # ---------------------------------------------------------------------------
 
 def relu_transform(kp: KernelPatch, method: str = DEFAULT_METHOD
                    ) -> KernelPatch:
     if method == "auto":
-        # Measured on TPU v5e (see BASELINE.md): the XLA lowering wins for
-        # the *standalone* transform because jnp code fuses into the
-        # surrounding conv chain, while a pallas_call is a fusion barrier
-        # that forces the [Nx, Ny, W, H] tensor through HBM on both sides.
-        # The Pallas kernel is kept selectable for whole-network fusion
-        # experiments (none shipped: BASELINE.md's roofline analysis shows
-        # the fused XLA path already at the VPU roofline).
+        # Measured on TPU v5e (see BASELINE.md): the XLA lowering wins —
+        # jnp code fuses into the surrounding conv chain, while a
+        # standalone pallas_call is a fusion barrier that forces the
+        # [Nx, Ny, W, H] tensor through HBM on both sides (round-1
+        # measurement), and even the whole-network fused Pallas kernel
+        # (ops/megakernel.py) measured 0.84x of this path (round 2,
+        # BASELINE.md "Megakernel verdict").
         method = "xla"
     if method == "xla":
         return _relu_xla(kp)
-    if method == "pallas":
-        return _relu_pallas(kp)
-    if method == "pallas_interpret":
-        return _relu_pallas(kp, interpret=True)
     raise ValueError(f"unknown relu method {method!r}")

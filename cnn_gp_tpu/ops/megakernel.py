@@ -25,8 +25,14 @@ Supported architecture pattern (`match()`): `Sequential` of L x
 padding-0 readout `Conv2d` covering the full map.  This is the paper
 ConvNet GP family; residual/strided nets fall back to the XLA path.
 
-Measured verdict on the v5e: see BASELINE.md "Megakernel" — this kernel
-exists to settle the round-1 question (VERDICT.md #5) with numbers.
+Measured verdict on the v5e (BASELINE.md "Megakernel verdict"): the XLA
+path WINS — 1.69-1.76 ms/tile vs this kernel's best 2.09 ms (rows=16;
+0.84x).  XLA's fused elementwise+reduce_window chains already keep the
+working set on-chip, and Mosaic's generic lowering of the slice-sum box
+filters costs more VPU work than XLA's native reduce_window.  The kernel
+is kept as the measured answer to round-1 VERDICT #5 (and as the starting
+point should shapes change, e.g. much larger images); the production path
+stays XLA.
 """
 
 from __future__ import annotations
@@ -168,13 +174,18 @@ def _gram_tile_jit(spec, x, z, maskf, rows_per_step, interpret):
         ],
         out_specs=pl.BlockSpec((r, bz), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+        # the fused L-layer chain keeps ~7 live [28,28,r,128] buffers;
+        # the default 16M scoped-vmem limit is below the chip's physical
+        # VMEM, so raise it for this kernel
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x[:, :, :, :, None], z[:, :, :, None, :], maskf)
     return out
 
 
 def gram_tile(spec: MegaSpec, x: jax.Array, z: jax.Array,
-              mask: Optional[jax.Array] = None, rows_per_step: int = 8,
+              mask: Optional[jax.Array] = None, rows_per_step: int = 16,
               interpret: bool = False) -> jax.Array:
     """One [bx, bz] Gram tile of the fused network.
 

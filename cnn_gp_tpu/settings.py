@@ -11,7 +11,10 @@ import contextlib
 
 # Box-filter lowering for Conv2d covariance: separable | direct | matmul.
 conv_method = "separable"
-# ReLU arccos transform lowering: auto | xla | pallas | pallas_interpret.
+# ReLU arccos transform lowering: auto | xla.  (The standalone Pallas
+# lowering was removed after losing to XLA fusion in both round-1 and
+# round-2 measurements; see ops/megakernel.py for the whole-network
+# fused experiment.)
 relu_method = "auto"
 # arccos implementation inside the ReLU transform: "poly" (Cephes-style
 # polynomial, ~15 fused VPU ops, abs err < 5e-7) | "exact" (jnp.arccos,

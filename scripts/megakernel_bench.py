@@ -78,5 +78,5 @@ def main(_):
 
 if __name__ == "__main__":
     absl.flags.DEFINE_integer("batch", 128, "tile size")
-    absl.flags.DEFINE_integer("rows", 8, "megakernel rows per grid step")
+    absl.flags.DEFINE_integer("rows", 16, "megakernel rows per grid step (16 measured best)")
     absl.app.run(main)

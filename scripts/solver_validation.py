@@ -38,9 +38,10 @@ def _assemble(model, n, n_test, batch, in_channels, side=28):
     tr_x, tr_y, te_x, te_y = synthetic_arrays(
         n_train=n, n_test=n_test, shape=(in_channels, side, side), seed=0)
     t0 = time.perf_counter()
+    k_dev = None
     if n <= 16384:   # measured fine at 16k
-        kxx = np.asarray(gram_device(model, tr_x, batch_size=batch),
-                         np.float64)
+        k_dev = gram_device(model, tr_x, batch_size=batch)
+        kxx = np.asarray(k_dev, np.float64)
         kzx = np.asarray(gram_device(model, te_x, tr_x, batch_size=batch),
                          np.float64)
     else:   # stream tiles: a device-resident N^2 Gram + one huge fetch
@@ -51,7 +52,7 @@ def _assemble(model, n, n_test, batch, in_channels, side=28):
                                         progress=False), np.float64)
     print(f"assembled Kxx {kxx.shape} + Kzx {kzx.shape} in "
           f"{time.perf_counter() - t0:.1f}s")
-    return kxx, kzx, tr_y, te_y
+    return kxx, kzx, tr_y, te_y, k_dev
 
 
 def _cond_estimate(kxx, jitter):
@@ -79,8 +80,8 @@ def main(_):
     config = configs.load(FLAGS.config)
     model = config.initial_model
     n, jitter = FLAGS.n, FLAGS.jitter
-    kxx, kzx, tr_y, te_y = _assemble(model, n, FLAGS.n_test, FLAGS.batch,
-                                     config.in_channels)
+    kxx, kzx, tr_y, te_y, k_dev = _assemble(model, n, FLAGS.n_test,
+                                            FLAGS.batch, config.in_channels)
     y = solve.one_hot_targets(tr_y)
     dmin, dmax = np.diagonal(kxx).min(), np.diagonal(kxx).max()
     print(f"diag range: [{dmin:.3e}, {dmax:.3e}]  "
@@ -117,8 +118,10 @@ def main(_):
     if "chol_dist" in solvers:
         def _dist():
             a, rel, iters = chol_solve_dist(kxx.copy(), y, jitter=jitter,
-                                            mesh=mesh, block=FLAGS.block)
-            return a, f"blocked sharded f32 + IR, {iters} refinements"
+                                            mesh=mesh, block=FLAGS.block,
+                                            k_dev=k_dev)
+            dev = " (device-resident gram)" if k_dev is not None else ""
+            return a, f"blocked sharded f32 + IR, {iters} refinements{dev}"
         record("chol_dist", _dist)
     if "cg" in solvers:
         def _cg():

@@ -34,23 +34,13 @@ def _patch(nx=6, ny=9, w=4, h=4, same=False, diag=False, mask=None, seed=0):
                        same, diag, mask)
 
 
-def test_pallas_interpret_matches_xla_cross():
-    kp = _patch()
-    a = arccos.relu_transform(kp, method="xla")
-    b = arccos.relu_transform(kp, method="pallas_interpret")
-    np.testing.assert_allclose(np.asarray(a.xy), np.asarray(b.xy),
-                               rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(a.xx), np.asarray(b.xx))
-    np.testing.assert_allclose(np.asarray(a.yy), np.asarray(b.yy))
-
-
-def test_pallas_interpret_matches_xla_same_block():
+def test_same_block_diag_fixed_exactly():
+    """Same-block diagonal entries equal xx/2 exactly after the transform.
+    (The standalone Pallas lowering this used to cross-check was removed
+    after losing to XLA fusion in measurement; the whole-network Pallas
+    experiment lives in ops/megakernel.py + tests/test_megakernel.py.)"""
     kp = _patch(nx=8, ny=8, same=True)
-    a = arccos.relu_transform(kp, method="xla")
-    b = arccos.relu_transform(kp, method="pallas_interpret")
-    np.testing.assert_allclose(np.asarray(a.xy), np.asarray(b.xy),
-                               rtol=1e-5, atol=1e-6)
-    # diagonal fixed to xx/2 exactly
+    b = arccos.relu_transform(kp, method="xla")
     d = np.asarray(b.xy)[np.arange(8), np.arange(8)]
     np.testing.assert_array_equal(d, np.asarray(kp.xx) * 0.5)
 

@@ -120,3 +120,44 @@ def test_single_device_mesh():
     got, rel, _ = chol_solve_dist(k.copy(), y, mesh=mesh1, block=16)
     np.testing.assert_allclose(got, np.linalg.solve(k, y),
                                rtol=1e-8, atol=1e-10)
+
+
+def test_ir32_float32_data_solve(mesh):
+    """chol_solve_ir32 must solve the float64 embedding of float32 data to
+    refinement tolerance without ever holding a float64 matrix."""
+    k32 = _spd(100, seed=21, scale=12).astype(np.float32)
+    y = solve.one_hot_targets(np.arange(100) % 10)
+    from cnn_gp_tpu.parallel import chol_solve_ir32
+    got, rel, iters = chol_solve_ir32(k32, y, jitter=1e3, mesh=mesh,
+                                      block=16, io_rows=32)
+    want = np.linalg.solve(k32.astype(np.float64) + 1e3 * np.eye(100), y)
+    assert rel < 1e-10, rel
+    np.testing.assert_allclose(got, want, rtol=1e-7,
+                               atol=1e-9 * np.abs(want).max())
+
+
+def test_solve_from_store(mesh, tmp_path):
+    """Blocked-I/O classify path: upper-triangle store -> chol solve,
+    matching scipy on the symmetrised float64 load."""
+    from cnn_gp_tpu.data import GramStore
+    from cnn_gp_tpu.parallel import chol_solve_dist_from_store
+
+    model = G.Sequential(G.Conv2d(3), G.ReLU(), G.Conv2d(7, padding=0))
+    x, yl, _, _ = synthetic_arrays(n_train=70, n_test=0, shape=(1, 7, 7))
+    k = np.asarray(gram_in_memory(model, x, batch_size=16, progress=False))
+    path = str(tmp_path / "k.h5")
+    with GramStore(path, "w") as store:
+        store.create("Kxx", 70, 70, 16)
+        for i in range(0, 70, 16):
+            for j in range(i, 70, 16):
+                store.write_tile("Kxx", i, j, k[i:i+16, j:j+16])
+        y = solve.one_hot_targets(yl)
+        got, rel, _ = chol_solve_dist_from_store(store, "Kxx", y,
+                                                 jitter=1e-6, mesh=mesh,
+                                                 block=16)
+        kxx64 = solve.symmetrize_from_upper(store.read("Kxx",
+                                                       dtype=np.float64))
+        want = solve.solve_gp(kxx64, y, jitter=1e-6, method="scipy")
+    assert rel < 1e-10, rel
+    np.testing.assert_allclose(got, want, rtol=1e-6,
+                               atol=1e-8 * np.abs(want).max())
