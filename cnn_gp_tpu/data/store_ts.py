@@ -138,12 +138,23 @@ class TensorStoreGramStore:
         # standard zarr attributes file alongside the array metadata
         return f"{self.path}/{name}/.zattrs"
 
+    def _attrs_kvstore(self, name: str):
+        # URL-form stores (gs://, s3://, memory://) must go through the
+        # tensorstore kvstore -- plain open() would create a literal local
+        # directory named e.g. "memory:/".
+        return ts.KvStore.open(f"{self.path}/{name}/").result()
+
     def _write_attrs(self, name: str, attrs: dict):
         import json
-        import os
-        os.makedirs(os.path.dirname(self._attrs_path(name)), exist_ok=True)
-        with open(self._attrs_path(name), "w") as f:
-            json.dump(attrs, f)
+        payload = json.dumps(attrs)
+        if "://" in self.path:
+            self._attrs_kvstore(name).write(".zattrs", payload.encode())
+        else:
+            import os
+            os.makedirs(os.path.dirname(self._attrs_path(name)),
+                        exist_ok=True)
+            with open(self._attrs_path(name), "w") as f:
+                f.write(payload)
         self._attrs_cache[name] = attrs
 
     def _read_attrs(self, name: str) -> dict:
@@ -151,8 +162,14 @@ class TensorStoreGramStore:
         if name in self._attrs_cache:
             return self._attrs_cache[name]
         try:
-            with open(self._attrs_path(name)) as f:
-                attrs = json.load(f)
+            if "://" in self.path:
+                raw = self._attrs_kvstore(name).read(".zattrs").result()
+                if raw.state != "value":
+                    raise OSError(f"no .zattrs in {self.path}/{name}")
+                attrs = json.loads(bytes(raw.value).decode())
+            else:
+                with open(self._attrs_path(name)) as f:
+                    attrs = json.load(f)
         except OSError:
             attrs = {}
         self._attrs_cache[name] = attrs
