@@ -46,9 +46,11 @@ __all__ = ["chol_solve_dist", "chol_solve_ir32", "chol_solve_dist_from_store",
            "cholesky_sharded", "cholesky_solve_sharded"]
 
 
-def _pad_size(n: int, block: int, n_dev: int) -> int:
-    """Smallest N_pad >= n divisible by both ``block`` and ``n_dev``."""
-    step = block * n_dev // np.gcd(block, n_dev)
+def _pad_size(n: int, block: int, n_dev: int, pad_to: int = 1) -> int:
+    """Smallest N_pad >= n divisible by ``block``, ``n_dev`` and ``pad_to``
+    (the latter lets device_large.py align the factor buffer with its
+    Gram-tile grid so assembly writes land inside it)."""
+    step = int(np.lcm(np.lcm(block, n_dev), pad_to))
     return int(-(-n // step) * step)
 
 
@@ -128,13 +130,13 @@ def _solve_fn(axis: str, n_pad: int, block: int, rows_local: int, nrhs: int):
 class _ShardedFactor:
     """A device-resident sharded Cholesky factor plus its solve program."""
 
-    def __init__(self, mesh: Mesh, n: int, block: int):
+    def __init__(self, mesh: Mesh, n: int, block: int, pad_to: int = 1):
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.n = n
         self.block = block
         n_dev = mesh.devices.size
-        self.n_pad = _pad_size(n, block, n_dev)
+        self.n_pad = _pad_size(n, block, n_dev, pad_to)
         self.rows_local = self.n_pad // n_dev
         self.l_loc = None
         self.diags = None

@@ -15,7 +15,7 @@ import absl.flags
 
 import configs
 from cnn_gp_tpu.data import DatasetFromConfig
-from cnn_gp_tpu.parallel import classify_device
+from cnn_gp_tpu.parallel import classify_device, classify_device_large
 
 FLAGS = absl.flags.FLAGS
 
@@ -25,13 +25,25 @@ def main(_):
     dataset = DatasetFromConfig(FLAGS.datasets_path, config)
 
     t0 = time.perf_counter()
-    accs = classify_device(
-        config.initial_model,
-        dataset.train.images, dataset.train.labels,
-        (dataset.validation.images, dataset.validation.labels),
-        (dataset.test.images, dataset.test.labels),
-        batch_size=FLAGS.batch_size, jitter=FLAGS.jitter,
-        refine=FLAGS.refine)
+    splits = [(dataset.validation.images, dataset.validation.labels),
+              (dataset.test.images, dataset.test.labels)]
+    if FLAGS.large:
+        # matrix-free large-N path: blocked in-place sharded Cholesky,
+        # nothing N^2 ever leaves the device (device_large.py)
+        accs, info = classify_device_large(
+            config.initial_model,
+            dataset.train.images, dataset.train.labels, *splits,
+            batch_size=FLAGS.batch_size, block=FLAGS.block,
+            jitter=FLAGS.jitter, refine_iters=FLAGS.refine_iters)
+        print(f"rel residual {info['rel_residual']:.2e} after "
+              f"{info['refinements']} refinements; "
+              f"timings {info['timings_s']}")
+    else:
+        accs = classify_device(
+            config.initial_model,
+            dataset.train.images, dataset.train.labels, *splits,
+            batch_size=FLAGS.batch_size, jitter=FLAGS.jitter,
+            refine=FLAGS.refine)
     elapsed = time.perf_counter() - t0
     print(f"validation accuracy: {accs[0] * 100}%")
     print(f"test accuracy: {accs[1] * 100}%")
@@ -47,4 +59,10 @@ if __name__ == "__main__":
     f.DEFINE_float("jitter", 1e-6, "added to the scale-normalised diagonal")
     f.DEFINE_boolean("refine", True,
                      "float64 host refinement of the float32 device solve")
+    f.DEFINE_boolean("large", False,
+                     "use the matrix-free large-N path (blocked sharded "
+                     "Cholesky; the Gram never leaves the device)")
+    f.DEFINE_integer("block", 2048, "Cholesky block size (--large)")
+    f.DEFINE_integer("refine_iters", 3,
+                     "refinement matvec passes cap (--large)")
     absl.app.run(main)

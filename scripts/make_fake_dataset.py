@@ -34,12 +34,19 @@ def _idx_labels(path, arr):
         f.write(arr.astype(np.uint8).tobytes())
 
 
-def _digits(n, side, seed, proto_seed=None):
+def _digits(n, side, seed, proto_seed=None, hard=False):
     """Digit-like images: class prototype blobs + noise, uint8.
 
     The prototypes must be SHARED between the train and test files
     (``proto_seed``) or the two splits are different tasks and test
     accuracy is meaningless -- real MNIST's train/test are i.i.d.
+
+    ``hard`` makes the task genuinely non-separable (every image is a
+    random convex blend of its class prototype with another class's, under
+    heavier pixel noise, plus 5% label noise), so classifiers land at a
+    non-trivial accuracy well below 100% -- the regime where accuracy
+    *equivalence* between two pipelines is evidence rather than plumbing
+    (round-1 VERDICT "What's weak" #5).
     """
     proto_rng = np.random.RandomState(
         seed if proto_seed is None else proto_seed)
@@ -48,20 +55,30 @@ def _digits(n, side, seed, proto_seed=None):
     rng.rand(10, side, side)  # keep the seed=1 train stream byte-stable
     y = rng.randint(0, 10, n)
     x = protos[y] * (0.6 + 0.4 * rng.rand(n, 1, 1))
-    x += 30 * rng.randn(n, side, side)
+    if hard:
+        other = (y + rng.randint(1, 10, n)) % 10   # confuser class
+        blend = rng.uniform(0.15, 0.5, (n, 1, 1)).astype(np.float32)
+        x = x * (1 - blend) + protos[other] * blend * (
+            0.6 + 0.4 * rng.rand(n, 1, 1))
+        x += 45 * rng.randn(n, side, side)
+        flip = rng.rand(n) < 0.05                  # 5% label noise
+        y = np.where(flip, rng.randint(0, 10, n), y)
+    else:
+        x += 30 * rng.randn(n, side, side)
     return np.clip(x, 0, 255).astype(np.uint8), y.astype(np.int64)
 
 
-def make_mnist(root, n_train=60000, n_test=10000):
+def make_mnist(root, n_train=60000, n_test=10000, hard=False):
     raw = os.path.join(root, "MNIST", "MNIST", "raw")
     os.makedirs(raw, exist_ok=True)
-    tr_x, tr_y = _digits(n_train, 28, seed=1)
-    te_x, te_y = _digits(n_test, 28, seed=2, proto_seed=1)
+    tr_x, tr_y = _digits(n_train, 28, seed=1, hard=hard)
+    te_x, te_y = _digits(n_test, 28, seed=2, proto_seed=1, hard=hard)
     _idx_images(os.path.join(raw, "train-images-idx3-ubyte"), tr_x)
     _idx_labels(os.path.join(raw, "train-labels-idx1-ubyte"), tr_y)
     _idx_images(os.path.join(raw, "t10k-images-idx3-ubyte"), te_x)
     _idx_labels(os.path.join(raw, "t10k-labels-idx1-ubyte"), te_y)
-    print(f"wrote fake MNIST ({n_train}+{n_test}) under {raw}")
+    print(f"wrote fake MNIST ({n_train}+{n_test}"
+          f"{', hard' if hard else ''}) under {raw}")
 
 
 def make_cifar10(root):
@@ -81,13 +98,17 @@ def make_cifar10(root):
 
 
 if __name__ == "__main__":
-    kind = sys.argv[1]
-    root = sys.argv[2]
+    argv = [a for a in sys.argv[1:] if a != "--hard"]
+    hard = "--hard" in sys.argv
+    kind = argv[0]
+    root = argv[1]
     if kind == "mnist":
-        n_train = int(sys.argv[3]) if len(sys.argv) > 3 else 60000
-        n_test = int(sys.argv[4]) if len(sys.argv) > 4 else 10000
-        make_mnist(root, n_train, n_test)
+        n_train = int(argv[2]) if len(argv) > 2 else 60000
+        n_test = int(argv[3]) if len(argv) > 3 else 10000
+        make_mnist(root, n_train, n_test, hard=hard)
     elif kind == "cifar10":
+        if hard:
+            raise SystemExit("--hard is only implemented for mnist")
         make_cifar10(root)
     else:
         raise SystemExit(f"unknown dataset kind {kind!r}")

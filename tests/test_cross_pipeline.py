@@ -26,6 +26,11 @@ def test_pipelines_equivalent():
     with tempfile.TemporaryDirectory() as workdir:
         ref_accs, our_accs, rels = run_equivalence(
             workdir, config="mnist_paper_convnet_gp",
-            n_train=512, n_val=128, n_test=64, batch=64, verbose=False)
+            n_train=512, n_val=128, n_test=64, batch=64, verbose=False,
+            hard=True)
     assert ref_accs == our_accs
     assert max(rels.values()) < 1e-5
+    # the hard variant is non-separable by construction: identical
+    # *sub-100%* accuracies are pipeline-equivalence evidence, not
+    # plumbing (round-1 VERDICT "What's weak" #5)
+    assert our_accs["test"] < 100.0

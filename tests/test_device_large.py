@@ -1,0 +1,133 @@
+"""Fully device-resident large-N classification (device_large.py).
+
+The matrix-free pieces (regenerated-tile matvecs) are checked against
+explicitly materialised Grams, and the whole pipeline against the float64
+scipy solve the reference uses (reference:
+exp_mnist_resnet/classify_gp.py:17-27) — on a real paper-config kernel at
+its ~1e12 value scale.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+import cnn_gp_tpu as G
+from cnn_gp_tpu.data import synthetic_arrays
+from cnn_gp_tpu.ops import solve
+from cnn_gp_tpu.parallel import (classify_device_large, gram_in_memory,
+                                 gram_matvec_regen, make_mesh, scores_regen)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device backend")
+    return make_mesh()
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    return G.Sequential(G.Conv2d(3), G.ReLU(), G.Conv2d(7, padding=0))
+
+
+def test_matvec_regen_matches_explicit(small_model):
+    """Scaled matrix-free matvec == (D^-1/2 K D^-1/2 with unit diag) @ a."""
+    x, _, _, _ = synthetic_arrays(n_train=70, n_test=0, shape=(1, 7, 7))
+    k = np.asarray(gram_in_memory(small_model, x, batch_size=16,
+                                  progress=False), np.float64)
+    s = (1.0 / np.sqrt(np.diagonal(k) + 0.1)).astype(np.float32)
+    m = s[:, None] * k * s[None, :]
+    np.fill_diagonal(m, 1.0)
+    a = np.random.RandomState(0).randn(70, 5).astype(np.float32)
+    got = gram_matvec_regen(small_model, x, a, batch_size=16, s=s)
+    np.testing.assert_allclose(got, m @ a, rtol=2e-5, atol=2e-5)
+
+
+def test_matvec_regen_raw(small_model):
+    """Unscaled matrix-free matvec == K @ a (padding garbage must not
+    leak through the pad rows of a)."""
+    x, _, _, _ = synthetic_arrays(n_train=37, n_test=0, shape=(1, 7, 7))
+    k = np.asarray(gram_in_memory(small_model, x, batch_size=16,
+                                  progress=False), np.float64)
+    a = np.random.RandomState(1).randn(37, 3).astype(np.float32)
+    got = gram_matvec_regen(small_model, x, a, batch_size=16)
+    np.testing.assert_allclose(got, k @ a, rtol=2e-5,
+                               atol=2e-5 * np.abs(k @ a).max())
+
+
+def test_scores_regen_matches_explicit(small_model):
+    x, _, z, _ = synthetic_arrays(n_train=50, n_test=21, shape=(1, 7, 7))
+    kzx = np.asarray(gram_in_memory(small_model, z, x, batch_size=16,
+                                    progress=False), np.float64)
+    a = np.random.RandomState(2).randn(50, 4).astype(np.float32)
+    got = scores_regen(small_model, z, x, a, batch_size=16)
+    np.testing.assert_allclose(got, kzx @ a, rtol=2e-5,
+                               atol=2e-5 * np.abs(kzx @ a).max())
+
+
+def test_classify_large_matches_scipy(mesh):
+    """End to end on a real paper-config Gram (~1e12 values): the fully
+    device-resident path must reproduce the float64 scipy pipeline's
+    predictions exactly."""
+    import configs
+    model = configs.load("mnist_paper_convnet_gp").initial_model
+    tr_x, tr_y, te_x, te_y = synthetic_arrays(
+        n_train=64, n_test=24, shape=(1, 28, 28), seed=11)
+    va_x, va_y = te_x[:12], te_y[:12]
+
+    accs, info = classify_device_large(
+        model, tr_x, tr_y, (va_x, va_y), (te_x, te_y),
+        batch_size=16, block=16, mesh=mesh, verbose=False)
+    assert info["rel_residual"] < 1e-4, info
+
+    # reference pipeline: explicit float64 Grams + scipy solve
+    kxx = np.asarray(gram_in_memory(model, tr_x, batch_size=16,
+                                    progress=False), np.float64)
+    assert kxx.flat[0] > 1e11           # genuinely at the paper's scale
+    a_ref = solve.solve_gp(kxx, solve.one_hot_targets(tr_y), method="scipy")
+    for (xz, yz), pred, acc in zip([(va_x, va_y), (te_x, te_y)],
+                                   info["predictions"], accs):
+        kzx = np.asarray(gram_in_memory(model, xz, tr_x, batch_size=16,
+                                        progress=False), np.float64)
+        np.testing.assert_array_equal(pred, solve.predict(kzx, a_ref))
+        assert acc == solve.accuracy(solve.predict(kzx, a_ref), yz)
+
+
+def test_classify_large_padding_edges(mesh):
+    """N not divisible by tile, block, or device count; tile cover beyond
+    the factor grid (pad_to alignment) must still solve correctly."""
+    model = G.Sequential(G.Conv2d(3), G.ReLU(), G.Conv2d(7, padding=0))
+    tr_x, tr_y, te_x, te_y = synthetic_arrays(
+        n_train=37, n_test=9, shape=(1, 7, 7), seed=3)
+    accs, info = classify_device_large(
+        model, tr_x, tr_y, (te_x, te_y),
+        batch_size=16, block=8, jitter=1e-6, mesh=mesh, verbose=False)
+    assert info["rel_residual"] < 1e-4
+    assert info["n_pad"] % 16 == 0 and info["n_pad"] % 8 == 0
+    kxx = np.asarray(gram_in_memory(model, tr_x, batch_size=16,
+                                    progress=False), np.float64)
+    kzx = np.asarray(gram_in_memory(model, te_x, tr_x, batch_size=16,
+                                    progress=False), np.float64)
+    a_ref = solve.solve_gp(kxx, solve.one_hot_targets(tr_y), jitter=1e-6,
+                           method="scipy")
+    np.testing.assert_array_equal(info["predictions"][0],
+                                  solve.predict(kzx, a_ref))
+
+
+def test_classify_large_single_device():
+    """The real deployment shape: one chip, one-device mesh."""
+    mesh1 = make_mesh(n_devices=1)
+    model = G.Sequential(G.Conv2d(3), G.ReLU(), G.Conv2d(7, padding=0))
+    tr_x, tr_y, te_x, te_y = synthetic_arrays(
+        n_train=48, n_test=16, shape=(1, 7, 7), seed=5)
+    accs, info = classify_device_large(
+        model, tr_x, tr_y, (te_x, te_y),
+        batch_size=16, block=16, jitter=1e-6, mesh=mesh1, verbose=False)
+    kxx = np.asarray(gram_in_memory(model, tr_x, batch_size=16,
+                                    progress=False), np.float64)
+    kzx = np.asarray(gram_in_memory(model, te_x, tr_x, batch_size=16,
+                                    progress=False), np.float64)
+    a_ref = solve.solve_gp(kxx, solve.one_hot_targets(tr_y), jitter=1e-6,
+                           method="scipy")
+    np.testing.assert_array_equal(info["predictions"][0],
+                                  solve.predict(kzx, a_ref))
