@@ -77,10 +77,22 @@ def _factor_fn(axis: str, n_pad: int, block: int, rows_local: int):
             x = jnp.where(grow[:, None] >= c0 + cols[None, :], x, 0.0)
             k_loc = lax.dynamic_update_slice(k_loc, x, (0, c0))
             xfull = lax.all_gather(x, axis, axis=0, tiled=True)
-            # trailing update on rows/cols past this block, one MXU matmul
-            rmask = (grow >= c0 + block)[:, None]
-            cmask = (jnp.arange(n_pad) >= c0 + block)[:, None]
-            k_loc = k_loc - (x * rmask) @ (xfull * cmask).T
+            # trailing update, one column block at a time: a single
+            # full-width matmul would materialise a [rows_local, n_pad]
+            # temporary (10.5 GB at N=50k on one device -- OOM on a 16 GB
+            # chip); blockwise, the temp is [rows_local, block] and only
+            # the nb-kb-1 trailing blocks are touched at all
+            xm = x * (grow >= c0 + block)[:, None]
+
+            def upd(cb, k_loc):
+                c1 = cb * block
+                xf = lax.dynamic_slice(xfull, (c1, 0), (block, block))
+                kblk = lax.dynamic_slice(k_loc, (0, c1),
+                                         (rows_local, block))
+                return lax.dynamic_update_slice(k_loc, kblk - xm @ xf.T,
+                                                (0, c1))
+
+            k_loc = lax.fori_loop(kb + 1, nb, upd, k_loc)
             diags = lax.dynamic_update_slice(diags, lkk[None], (kb, 0, 0))
             return k_loc, diags
 

@@ -79,9 +79,12 @@ def _scaled_tile(model, x_all, s_pad, i0, j0, b, n):
     sr = lax.dynamic_slice(s_pad, (i0,), (b,))
     sc = lax.dynamic_slice(s_pad, (j0,), (b,))
     blk = blk * sr[:, None] * sc[None, :]
-    blk = jnp.where(rows[:, None] == cols[None, :], 1.0, blk)
     valid = (rows < n)[:, None] & (cols < n)[None, :]
-    return jnp.where(valid, blk, 0.0)
+    blk = jnp.where(valid, blk, 0.0)
+    # diagonal pinned LAST so pad rows in [n, m_pad) keep their unit
+    # diagonal (assembly init writes it once; a tile covering pad rows
+    # must not zero it back out -- that made the padded matrix singular)
+    return jnp.where(rows[:, None] == cols[None, :], 1.0, blk)
 
 
 @functools.partial(jax.jit, static_argnames=("b", "n", "n_pad", "snap"))
@@ -97,16 +100,35 @@ def _diag_scan_jit(model, x_all, offsets, b, n, n_pad, snap):
     return d.reshape(-1)
 
 
-def _assemble_scaled(model, x_all, s_pad, offsets, b, n, n_pad, mesh):
+def _assemble_scaled(model, x_all, s_pad, offsets, b, n, n_pad, mesh,
+                     tiles_per_call: int = 4096):
     """The scaled padded system matrix, born row-sharded on the mesh.
 
-    Rows/cols in [n, n_pad) come out as an exact identity block (zero
-    off-diagonal from the k0 init + unit pinned diagonal), so the factor of
-    the padded matrix embeds the factor of the true one.
+    Rows/cols in [n, n_pad) come out as an exact identity block: the
+    buffer is initialised with a unit diagonal (every in-range tile pins
+    its own diagonal via `_scaled_tile`, so only the pad rows rely on it)
+    and zero off-diagonal — the factor of the padded matrix embeds the
+    factor of the true one.
+
+    The buffer is allocated ONCE and **donated** through every update
+    program: at N=50k it is 10.5 GB on a 16 GB chip, so any second copy
+    (a non-aliased scan carry, a post-scan scatter, a resharding) is an
+    instant OOM — this exact failure was measured before the donation
+    chain.  Tiles are fed in bounded chunks so each program stays small.
     """
-    @functools.partial(jax.jit, static_argnames=("b", "n", "n_pad", "snap"),
-                       out_shardings=row_sharded(mesh))
-    def asm(model, x_all, s_pad, offsets, b, n, n_pad, snap):
+    row = row_sharded(mesh)
+    snap = settings.snapshot()
+
+    @functools.partial(jax.jit, static_argnames=("n_pad",),
+                       out_shardings=row)
+    def init(n_pad):
+        idx = jnp.arange(n_pad)
+        return jnp.zeros((n_pad, n_pad), jnp.float32).at[idx, idx].set(1.0)
+
+    @functools.partial(jax.jit, donate_argnums=0,
+                       static_argnames=("b", "n", "snap"),
+                       out_shardings=row)
+    def asm_chunk(k, model, x_all, s_pad, offs, b, n, snap):
         del snap
 
         def body(k, off):
@@ -115,13 +137,22 @@ def _assemble_scaled(model, x_all, s_pad, offsets, b, n, n_pad, mesh):
             k = lax.dynamic_update_slice(k, blk.T, (off[1], off[0]))
             return k, None
 
-        k0 = jnp.zeros((n_pad, n_pad), jnp.float32)
-        k, _ = lax.scan(body, k0, offsets)
-        idx = jnp.arange(n_pad)
-        return k.at[idx, idx].set(1.0)
+        return lax.scan(body, k, offs)[0]
 
-    return asm(model, x_all, s_pad, offsets, b, n, n_pad,
-               settings.snapshot())
+    k = init(n_pad)
+    offsets = np.asarray(offsets)
+    c = tiles_per_call
+    starts = list(range(0, len(offsets), c))
+    for r0 in starts:
+        chunk = offsets[r0:r0 + c]
+        if len(chunk) < c and len(starts) > 1:
+            # pad with diagonal-tile rewrites (idempotent) so one program
+            # serves every chunk
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], c - len(chunk), axis=0)])
+        k = asm_chunk(k, model, x_all, s_pad, jnp.asarray(chunk), b, n,
+                      snap)
+    return k
 
 
 @functools.partial(jax.jit, static_argnames=("b", "n", "snap"))

@@ -114,6 +114,33 @@ def test_classify_large_padding_edges(mesh):
                                   solve.predict(kzx, a_ref))
 
 
+def test_assemble_chunked_matches_explicit(small_model):
+    """The donated chunked assembly (with idempotent pad-tile rewrites)
+    must equal the explicitly scaled Gram regardless of chunk size."""
+    from cnn_gp_tpu.parallel.device_large import (_assemble_scaled,
+                                                  _upper_offsets)
+    from cnn_gp_tpu.parallel.gram import _pad_to_multiple
+    import jax.numpy as jnp
+    x, _, _, _ = synthetic_arrays(n_train=40, n_test=0, shape=(1, 7, 7))
+    k = np.asarray(gram_in_memory(small_model, x, batch_size=8,
+                                  progress=False), np.float64)
+    s64 = 1.0 / np.sqrt(np.diagonal(k))
+    want = s64[:, None] * k * s64[None, :]
+    np.fill_diagonal(want, 1.0)
+    mesh1 = make_mesh(n_devices=1)
+    n_pad = 48
+    s_pad = np.ones(n_pad, np.float32)
+    s_pad[:40] = s64
+    x_all = jnp.asarray(_pad_to_multiple(np.asarray(x, np.float32), 8))
+    for tiles_per_call in (3, 7, 1000):
+        got = np.asarray(_assemble_scaled(
+            small_model, x_all, jnp.asarray(s_pad), _upper_offsets(40, 8),
+            8, 40, n_pad, mesh1, tiles_per_call=tiles_per_call))
+        np.testing.assert_allclose(got[:40, :40], want, rtol=2e-5,
+                                   atol=2e-5)
+        assert (got[40:] == np.eye(48, dtype=np.float32)[40:]).all()
+
+
 def test_classify_large_single_device():
     """The real deployment shape: one chip, one-device mesh."""
     mesh1 = make_mesh(n_devices=1)
