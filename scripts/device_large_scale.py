@@ -1,0 +1,85 @@
+"""Scale runs of the fully device-resident classification path.
+
+Drives ``classify_device_large`` (parallel/device_large.py) on synthetic
+arrays at a chosen N on the real chip, printing per-phase timings and the
+scaled-space residual, and optionally cross-checks predictions against the
+reference-parity float64 scipy pipeline (reference:
+exp_mnist_resnet/classify_gp.py:17-27) — feasible up to ~16k, where the
+explicit float64 Gram and the single-core LAPACK solve still fit this
+host.  This is the protocol behind the BASELINE.md "Fully device-resident
+classification" table:
+
+    python -m scripts.device_large_scale --n_train=16384 --n_test=2048 \
+        --check_scipy
+    python -m scripts.device_large_scale --n_train=50000 --n_test=20000
+"""
+
+import time
+
+import absl.app
+import absl.flags
+import numpy as np
+
+import configs
+from cnn_gp_tpu.data import synthetic_arrays
+from cnn_gp_tpu.ops import solve
+from cnn_gp_tpu.parallel import classify_device_large, gram_in_memory
+
+FLAGS = absl.flags.FLAGS
+
+
+def main(_):
+    model = configs.load(FLAGS.config).initial_model
+    tr_x, tr_y, te_x, te_y = synthetic_arrays(
+        n_train=FLAGS.n_train, n_test=FLAGS.n_test,
+        shape=(1, 28, 28), seed=FLAGS.seed)
+    splits = [(te_x, te_y)]
+    if FLAGS.n_validation:
+        va_x, va_y = te_x[:FLAGS.n_validation], te_y[:FLAGS.n_validation]
+        te_x, te_y = te_x[FLAGS.n_validation:], te_y[FLAGS.n_validation:]
+        splits = [(va_x, va_y), (te_x, te_y)]
+
+    t0 = time.perf_counter()
+    accs, info = classify_device_large(
+        model, tr_x, tr_y, *splits,
+        batch_size=FLAGS.batch_size, block=FLAGS.block)
+    wall = time.perf_counter() - t0
+    print(f"accs {accs} wall {wall:.1f}s rel {info['rel_residual']:.2e} "
+          f"refinements {info['refinements']} timings {info['timings_s']}",
+          flush=True)
+    if FLAGS.out_predictions:
+        np.save(FLAGS.out_predictions, np.concatenate(info["predictions"]))
+
+    if FLAGS.check_scipy:
+        t0 = time.perf_counter()
+        kxx = np.asarray(gram_in_memory(model, tr_x, batch_size=FLAGS.batch_size,
+                                        progress=False), np.float64)
+        kzx = np.asarray(gram_in_memory(model, te_x, tr_x,
+                                        batch_size=FLAGS.batch_size,
+                                        progress=False), np.float64)
+        t1 = time.perf_counter()
+        a_ref = solve.solve_gp(kxx, solve.one_hot_targets(tr_y),
+                               method="scipy")
+        t2 = time.perf_counter()
+        agree = float(np.mean(solve.predict(kzx, a_ref)
+                              == info["predictions"][-1]))
+        print(f"scipy pipeline: gram+fetch {t1 - t0:.1f}s "
+              f"solve {t2 - t1:.1f}s; prediction agreement: {agree}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    f = absl.flags
+    f.DEFINE_string("config", "mnist_as_tf", "config name from `configs`")
+    f.DEFINE_integer("n_train", 16384, "training examples")
+    f.DEFINE_integer("n_test", 2048, "test (+validation) examples")
+    f.DEFINE_integer("n_validation", 0,
+                     "carve this many of n_test into a validation split")
+    f.DEFINE_integer("batch_size", 128, "Gram tile size")
+    f.DEFINE_integer("block", 2048, "Cholesky block size")
+    f.DEFINE_integer("seed", 0, "synthetic data seed")
+    f.DEFINE_boolean("check_scipy", False,
+                     "cross-check predictions against the float64 scipy "
+                     "pipeline (explicit Grams; feasible to ~16k)")
+    f.DEFINE_string("out_predictions", "", "optional .npy output path")
+    absl.app.run(main)
