@@ -121,10 +121,14 @@ def main():
                 with _Watchdog(budget):
                     results[name] = _measure(config_name, shape)
                 break
-            except TimeoutError as e:
+            # the tunnel's remote-compile channel can also DROP (an
+            # XlaRuntimeError, not a timeout) on big programs; a failing
+            # secondary workload must degrade to a partial breakdown, not
+            # discard the already-measured headline JSON line
+            except Exception as e:
                 import sys
-                print(f"bench[{name}] attempt {attempt}: {e}",
-                      file=sys.stderr, flush=True)
+                print(f"bench[{name}] attempt {attempt}: {type(e).__name__}:"
+                      f" {e}", file=sys.stderr, flush=True)
         if name == "resnet32" and name not in results:
             raise SystemExit("bench: headline workload stalled")
 

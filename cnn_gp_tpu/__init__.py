@@ -26,19 +26,60 @@ def _reapply_env_config():
     # a cold ResNet-32 kernel program costs 1-3 minutes to compile per
     # process; the cache cuts repeat processes to seconds (measured
     # 87s -> 13s).  An explicit JAX_COMPILATION_CACHE_DIR (above) wins.
-    if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
-        try:
-            if not jax.config.jax_compilation_cache_dir:
-                # one cache per platform: remote-compile runtimes may
-                # produce host-AOT artifacts for a different CPU than this
-                # machine's, and a shared dir would let local CPU runs
-                # load them (SIGILL risk)
-                plat = _os.environ.get("JAX_PLATFORMS", "default") or "auto"
-                jax.config.update(
-                    "jax_compilation_cache_dir",
-                    _os.path.expanduser(f"~/.cache/cnn_gp_tpu/jax-{plat}"))
-        except Exception:  # pragma: no cover - best effort
-            pass
+    _apply_default_cache_dir()
+
+
+_CACHE_ROOT = _os.path.expanduser("~/.cache/cnn_gp_tpu/jax-")
+
+
+def _apply_default_cache_dir():
+    """Key the default compilation cache per *resolved* platform.
+
+    One cache per platform: remote-compile runtimes may produce host-AOT
+    artifacts for a different CPU than this machine's, and a shared dir
+    would let local CPU runs load them (SIGILL risk).  Keys on the live
+    ``jax_platforms`` config (which reflects runtime
+    ``jax.config.update`` flips — the sitecustomize freezes the env var,
+    see ``use_platform``), not on the env var alone.  A user-set
+    JAX_COMPILATION_CACHE_DIR (env) or an explicit non-default config
+    value is never overridden.
+    """
+    if "JAX_COMPILATION_CACHE_DIR" in _os.environ:
+        return
+    import jax
+    try:
+        current = jax.config.jax_compilation_cache_dir
+        if current and not current.startswith(_CACHE_ROOT):
+            return                      # explicit user config: keep it
+        plat = (getattr(jax.config, "jax_platforms", None)
+                or _os.environ.get("JAX_PLATFORMS") or "auto")
+        jax.config.update("jax_compilation_cache_dir", _CACHE_ROOT + plat)
+    except Exception:  # pragma: no cover - best effort
+        pass
+
+
+def use_platform(platform: str) -> None:
+    """Switch the jax backend at runtime and re-key the compilation cache.
+
+    This environment's sitecustomize pre-imports jax and freezes
+    env-derived config, so ``JAX_PLATFORMS=cpu python ...`` does nothing
+    after the fact; the supported flip is
+    ``jax.config.update("jax_platforms", ...)`` plus dropping any
+    already-initialized backend.  Doing that alone would leave the
+    per-platform default compilation cache keyed to the *old* platform
+    and mix artifacts across platforms — this helper does both.
+    """
+    import jax
+    # Always drop any initialized backend: the config string can already
+    # read `platform` (e.g. re-applied from the env var at import) while
+    # the live backend is still the frozen pre-import one.
+    try:
+        import jax.extend
+        jax.extend.backend.clear_backends()
+    except Exception:  # pragma: no cover - not initialized yet
+        pass
+    jax.config.update("jax_platforms", platform)
+    _apply_default_cache_dir()
 
 
 _reapply_env_config()
@@ -63,7 +104,7 @@ __all__ = [
     "Mixture", "resnet_block", "kernel_fn", "input_patch", "FiniteNet",
     "sample_nn_outputs", "settings", "fit", "neg_marginal_log_likelihood",
     "DatasetFromConfig", "ProductIterator", "DiagIterator", "GramStore",
-    "open_store", "save_K", "print_timings",
+    "open_store", "save_K", "print_timings", "use_platform",
 ]
 
 __version__ = "0.1.0"

@@ -175,15 +175,20 @@ def _load_pool(datasets_path: str, config) -> ArrayDataset:
     x = np.concatenate([tr_x, te_x])
     y = np.concatenate([tr_y, te_y])
     # The reference composes transforms per image (reference:
-    # cnn_gp/data.py:143-145).  Vectorised callables get the whole pool for
-    # speed; anything that doesn't preserve the batch dimension (or only
-    # works on single images) falls back to per-image application.
+    # cnn_gp/data.py:143-145), and that is the default here too: a
+    # batch-shape-preserving guess is NOT evidence of batch-awareness
+    # (e.g. ``lambda img: img[::-1]`` flips channels per image but
+    # silently reverses the image ORDER when handed the pool).  A
+    # callable that genuinely vectorises over the leading batch dim can
+    # opt in with ``t.vectorized = True`` and will get the whole pool.
     for t in getattr(config, "transforms", []):
-        try:
+        if getattr(t, "vectorized", False):
             xt = np.asarray(t(x))
             if xt.shape[:1] != x.shape[:1]:
-                raise ValueError("batch dim not preserved")
-        except Exception:
+                raise ValueError(
+                    f"vectorized transform {t!r} changed the batch dim "
+                    f"{x.shape[:1]} -> {xt.shape[:1]}")
+        else:
             xt = np.stack([np.asarray(t(img)) for img in x])
         x = xt.astype(np.float32, copy=False)
     return ArrayDataset(x, y)

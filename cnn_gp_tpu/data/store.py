@@ -151,16 +151,6 @@ class GramStore:
         ds.read_direct(out, source_sel=np.s_[0, ...])
         return out.astype(dtype, copy=False)
 
-    def read_rows(self, name: str, i0: int, i1: int,
-                  dtype=np.float32) -> np.ndarray:
-        """Rows [i0, i1) only — blocked I/O for store-streaming solvers
-        that must not materialise the whole Gram (20 GB float64 at 50k)."""
-        ds = self.f[name]
-        i1 = min(i1, ds.shape[1])
-        out = np.empty((i1 - i0,) + ds.shape[2:], dtype=np.float32)
-        ds.read_direct(out, source_sel=np.s_[0, i0:i1, ...])
-        return out.astype(dtype, copy=False)
-
     def dataset_names(self) -> Iterable[str]:
         return [k for k in self.f.keys() if k != "_done"]
 

@@ -242,13 +242,6 @@ class TensorStoreGramStore:
     def read(self, name: str, dtype=np.float32) -> np.ndarray:
         return np.asarray(self._get(name).read().result(), dtype)
 
-    def read_rows(self, name: str, i0: int, i1: int,
-                  dtype=np.float32) -> np.ndarray:
-        """Rows [i0, i1) only (see GramStore.read_rows)."""
-        arr = self._get(name)
-        i1 = min(i1, arr.shape[0])
-        return np.asarray(arr[i0:i1].read().result(), dtype)
-
     def dataset_names(self) -> Iterable[str]:
         import os
         return [d for d in os.listdir(self.path)

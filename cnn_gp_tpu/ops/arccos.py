@@ -27,7 +27,6 @@ compiled program serves diagonal *and* off-diagonal Gram tiles.
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax

@@ -6,12 +6,13 @@ TPU-native replacement for the reference's single-process CPU LAPACK solve
 right-looking Cholesky: at block step k the panel column is all-gathered,
 the diagonal block is factorised redundantly on every device (cheap,
 replicated), and the O(N^2 B) trailing update — where all the FLOPs are —
-runs as one MXU matmul per device on its local rows.  The whole
-factorisation is ONE jitted program (`lax.fori_loop` over block steps), so
-the compiled payload is bounded regardless of N — this matters on runtimes
-that ship programs over a network (see BASELINE.md on the tunnel's
-remote-compile limits, which killed whole-matrix `lax.linalg.cholesky`
-at 16k^2).
+runs as MXU matmuls per device on its local rows.  The factorisation is
+ONE compiled program applied once per block step from a host loop with the
+buffer donated through every call (`_factor_step_fn` explains why a
+single fori_loop-over-steps program is not memory-safe), so the compiled
+payload is bounded regardless of N — this matters on runtimes that ship
+programs over a network (see BASELINE.md on the tunnel's remote-compile
+limits, which killed whole-matrix `lax.linalg.cholesky` at 16k^2).
 
 Numerics: NNGP Grams of the paper configs have diagonals ~1e12
 (solve_dist.py).  We solve the Jacobi-equilibrated system
@@ -54,52 +55,73 @@ def _pad_size(n: int, block: int, n_dev: int, pad_to: int = 1) -> int:
     return int(-(-n // step) * step)
 
 
-def _factor_fn(axis: str, n_pad: int, block: int, rows_local: int):
+def _factor_step_fn(axis: str, n_pad: int, block: int, rows_local: int):
+    """One block step of the right-looking factorisation, as its own
+    program.  The host drives the ``nb`` steps in a Python loop, donating
+    the buffer through every call (``_ShardedFactor._factorize_dev``) —
+    NOT a single program with a ``fori_loop`` over steps: XLA gives the
+    big while-loop carry a fresh (and layout-rotated) buffer, an extra
+    N_pad^2 copy that OOMs a 16 GB chip at N=50k (measured; so does
+    ``lax.linalg.triangular_solve`` of the [n_pad, block] panel, hence
+    the explicit small-triangular-inverse + MXU matmul below — on the
+    equilibrated unit-diagonal system the inverse is benign, and float64
+    refinement cleans up the last ~ulp anyway).  Per-step temp is
+    ~3 x [n_pad, block] (measured 0.4 GB at 16k against a 1.07 GB
+    buffer), and the compiled payload stays bounded regardless of N."""
     nb = n_pad // block
 
-    def factor(k_loc):  # [rows_local, n_pad] local rows, lower tri valid
+    def step(k_loc, diags, kb):
+        # k_loc: [rows_local, n_pad] local rows, lower triangle valid
         me = lax.axis_index(axis)
         grow = me * rows_local + jnp.arange(rows_local)      # global rows
         cols = jnp.arange(block)
+        c0 = kb * block
+        # panel column, gathered: [n_pad, block].  Pre-masked to its
+        # valid lower-triangle region: the inverse matmul below would mix
+        # strictly-upper garbage into kept entries via 0 * NaN (a
+        # triangular_solve only ever read the valid entries; the matmul
+        # touches the whole row).  For kept outputs this is a no-op:
+        # x[i, j] only consumes pcol[i, m] with m <= j <= grow_i - c0.
+        pcol = lax.dynamic_slice(k_loc, (0, c0), (rows_local, block))
+        pcol = jnp.where(grow[:, None] >= c0 + cols[None, :], pcol, 0.0)
+        pfull = lax.all_gather(pcol, axis, axis=0, tiled=True)
+        dblk = lax.dynamic_slice(pfull, (c0, 0), (block, block))
+        # the factor's contract is lower-triangle-only input (the
+        # large-N assembly never writes the upper half); rebuild the
+        # diagonal block's upper from its lower explicitly —
+        # jnp.linalg.cholesky would otherwise symmetrize as
+        # (A + A^T)/2 and halve every entry whose mirror is unwritten
+        dblk = jnp.tril(dblk) + jnp.tril(dblk, -1).T
+        lkk = lax.linalg.cholesky(dblk, symmetrize_input=False)
+        linv = lax.linalg.triangular_solve(
+            lkk, jnp.eye(block, dtype=k_loc.dtype), left_side=True,
+            lower=True)
+        # panel solve X @ Lkk^T = panel as one MXU matmul (local rows)
+        x = pcol @ linv.T
+        # keep only the lower triangle of the factor: row >= column
+        x = jnp.where(grow[:, None] >= c0 + cols[None, :], x, 0.0)
+        k_loc = lax.dynamic_update_slice(k_loc, x, (0, c0))
+        xfull = lax.all_gather(x, axis, axis=0, tiled=True)
+        # trailing update, one column block at a time: a single
+        # full-width matmul would materialise a [rows_local, n_pad]
+        # temporary (10.5 GB at N=50k on one device); blockwise, the
+        # temp is [rows_local, block] and only the nb-kb-1 trailing
+        # blocks are touched at all
+        xm = x * (grow >= c0 + block)[:, None]
 
-        def step(kb, carry):
-            k_loc, diags = carry
-            c0 = kb * block
-            # panel column, gathered: [n_pad, block]
-            pcol = lax.dynamic_slice(k_loc, (0, c0), (rows_local, block))
-            pfull = lax.all_gather(pcol, axis, axis=0, tiled=True)
-            dblk = lax.dynamic_slice(pfull, (c0, 0), (block, block))
-            lkk = jnp.linalg.cholesky(dblk)                  # replicated
-            # panel solve: X @ Lkk^T = panel  (local rows only)
-            x = lax.linalg.triangular_solve(lkk, pcol, left_side=False,
-                                            lower=True, transpose_a=True)
-            # keep only the lower triangle of the factor: row >= column
-            x = jnp.where(grow[:, None] >= c0 + cols[None, :], x, 0.0)
-            k_loc = lax.dynamic_update_slice(k_loc, x, (0, c0))
-            xfull = lax.all_gather(x, axis, axis=0, tiled=True)
-            # trailing update, one column block at a time: a single
-            # full-width matmul would materialise a [rows_local, n_pad]
-            # temporary (10.5 GB at N=50k on one device -- OOM on a 16 GB
-            # chip); blockwise, the temp is [rows_local, block] and only
-            # the nb-kb-1 trailing blocks are touched at all
-            xm = x * (grow >= c0 + block)[:, None]
+        def upd(cb, k_loc):
+            c1 = cb * block
+            xf = lax.dynamic_slice(xfull, (c1, 0), (block, block))
+            kblk = lax.dynamic_slice(k_loc, (0, c1),
+                                     (rows_local, block))
+            return lax.dynamic_update_slice(k_loc, kblk - xm @ xf.T,
+                                            (0, c1))
 
-            def upd(cb, k_loc):
-                c1 = cb * block
-                xf = lax.dynamic_slice(xfull, (c1, 0), (block, block))
-                kblk = lax.dynamic_slice(k_loc, (0, c1),
-                                         (rows_local, block))
-                return lax.dynamic_update_slice(k_loc, kblk - xm @ xf.T,
-                                                (0, c1))
+        k_loc = lax.fori_loop(kb + 1, nb, upd, k_loc)
+        diags = lax.dynamic_update_slice(diags, lkk[None], (kb, 0, 0))
+        return k_loc, diags
 
-            k_loc = lax.fori_loop(kb + 1, nb, upd, k_loc)
-            diags = lax.dynamic_update_slice(diags, lkk[None], (kb, 0, 0))
-            return k_loc, diags
-
-        diags0 = jnp.zeros((nb, block, block), k_loc.dtype)
-        return lax.fori_loop(0, nb, step, (k_loc, diags0))
-
-    return factor
+    return step
 
 
 def _solve_fn(axis: str, n_pad: int, block: int, rows_local: int, nrhs: int):
@@ -115,7 +137,10 @@ def _solve_fn(axis: str, n_pad: int, block: int, rows_local: int, nrhs: int):
             yk = lax.linalg.triangular_solve(diags[kb], bk, left_side=True,
                                              lower=True)
             pl = lax.dynamic_slice(l_loc, (0, c0), (rows_local, block))
-            contrib = (pl * (grow >= c0 + block)[:, None]) @ yk
+            # where-mask, not multiply: rows above the diagonal may hold
+            # arbitrary unwritten garbage (lower-triangle-only contract)
+            pl = jnp.where((grow >= c0 + block)[:, None], pl, 0.0)
+            contrib = pl @ yk
             b = b - lax.all_gather(contrib, axis, axis=0, tiled=True)
             return lax.dynamic_update_slice(b, yk, (c0, 0))
 
@@ -123,10 +148,10 @@ def _solve_fn(axis: str, n_pad: int, block: int, rows_local: int, nrhs: int):
             kb = nb - 1 - i
             c0 = kb * block
             pl = lax.dynamic_slice(l_loc, (0, c0), (rows_local, block))
+            pl = jnp.where((grow >= c0 + block)[:, None], pl, 0.0)
             a_loc = lax.dynamic_slice(a, (me * rows_local, 0),
                                       (rows_local, nrhs))
-            part = lax.psum((pl * (grow >= c0 + block)[:, None]).T @ a_loc,
-                            axis)
+            part = lax.psum(pl.T @ a_loc, axis)
             yk = lax.dynamic_slice(a, (c0, 0), (block, nrhs))
             ak = lax.linalg.triangular_solve(diags[kb], yk - part,
                                              left_side=True, lower=True,
@@ -207,12 +232,20 @@ class _ShardedFactor:
         skipping the host->device upload entirely (it dominates wall-clock
         on tunneled runtimes: measured 68s for 1 GB vs 2.6s of factor
         compute at 16k).  Optionally applies Jacobi scaling by ``s32``
-        (host [n] float32) with the scaled diagonal pinned to 1."""
+        (host [n] float32) with the scaled diagonal pinned to 1.
+
+        ``k_dev`` is **consumed** (donated into the pad/scale program);
+        the caller must not use it afterwards."""
         n, n_pad = self.n, self.n_pad
         row = NamedSharding(self.mesh, P(self.axis, None))
         scaled = s32 is not None
 
-        @functools.partial(jax.jit, out_shardings=row)
+        # k is donated: its HBM is released into the program (peak is
+        # still ~[n^2 + n_pad^2] while the pad-copy reads it, so this
+        # path tops out around ~40k on one 16 GB chip -- past that, use
+        # classify_device_large, which assembles straight into the
+        # factor buffer and never holds two copies)
+        @functools.partial(jax.jit, donate_argnums=0, out_shardings=row)
         def prep(k, s):
             if scaled:
                 k = k * s[:, None] * s[None, :]
@@ -226,20 +259,30 @@ class _ShardedFactor:
         self._factorize_dev(prep(*args))
 
     def _factorize_dev(self, k_dev) -> None:
-        fn = jax.jit(jax.shard_map(
-            _factor_fn(self.axis, self.n_pad, self.block, self.rows_local),
-            mesh=self.mesh, in_specs=P(self.axis, None),
+        row = NamedSharding(self.mesh, P(self.axis, None))
+        repl = NamedSharding(self.mesh, P())
+        nb = self.n_pad // self.block
+        step = jax.jit(jax.shard_map(
+            _factor_step_fn(self.axis, self.n_pad, self.block,
+                            self.rows_local),
+            mesh=self.mesh, in_specs=(P(self.axis, None), P(), P()),
             out_specs=(P(self.axis, None), P()),
             # the diag stack and solve outputs are replicated by
             # construction (all devices compute them from all-gathered /
             # psum'd values); skip the varying-manner check that cannot
-            # see through the fori_loop carry
+            # see through the loop carries
             check_vma=False),
-            donate_argnums=0)
+            donate_argnums=(0, 1), out_shardings=(row, repl))
+        diags = jax.device_put(
+            np.zeros((nb, self.block, self.block), np.float32), repl)
         # TPU f32 matmuls default to bf16 accumulation -- fatal inside a
-        # Cholesky (SURVEY.md "hard parts"); trace at full f32 precision
+        # Cholesky (SURVEY.md "hard parts"); trace at full f32 precision.
+        # One compiled program (kb is a traced scalar), nb dispatches,
+        # buffer donated through every call -- see _factor_step_fn.
         with jax.default_matmul_precision("highest"):
-            self.l_loc, self.diags = fn(k_dev)
+            for kb in range(nb):
+                k_dev, diags = step(k_dev, diags, np.int32(kb))
+        self.l_loc, self.diags = k_dev, diags
 
     def solve(self, rhs: np.ndarray) -> np.ndarray:
         """(L L^T)^{-1} rhs through the device factor (float32)."""

@@ -61,6 +61,20 @@ def _upper_offsets(n: int, b: int) -> jnp.ndarray:
     return jnp.asarray(np.asarray(offs, np.int32))
 
 
+def _lower_offsets(n: int, b: int) -> jnp.ndarray:
+    """Lower-triangle tile offsets (i0 >= j0) covering ceil(n/b)*b.
+
+    Assembly for the blocked factor uses these: the factorisation reads
+    only the lower triangle (chol_dist.py masks everything above it), so
+    mirroring tiles into the upper half is pure waste — and the
+    write-tile-and-its-transpose pattern made XLA pick a column-major
+    layout for the scan carry, inserting a whole-matrix layout copy that
+    doubled peak HBM (the measured 50k OOM)."""
+    nt = -(-n // b)
+    offs = [(i * b, j * b) for i in range(nt) for j in range(i + 1)]
+    return jnp.asarray(np.asarray(offs, np.int32))
+
+
 def _rect_offsets(n1: int, n2: int, b: int) -> jnp.ndarray:
     offs = [(i * b, j * b)
             for i in range(-(-n1 // b)) for j in range(-(-n2 // b))]
@@ -102,19 +116,27 @@ def _diag_scan_jit(model, x_all, offsets, b, n, n_pad, snap):
 
 def _assemble_scaled(model, x_all, s_pad, offsets, b, n, n_pad, mesh,
                      tiles_per_call: int = 4096):
-    """The scaled padded system matrix, born row-sharded on the mesh.
+    """The scaled padded system matrix (lower triangle + diagonal), born
+    row-sharded on the mesh.
 
-    Rows/cols in [n, n_pad) come out as an exact identity block: the
-    buffer is initialised with a unit diagonal (every in-range tile pins
-    its own diagonal via `_scaled_tile`, so only the pad rows rely on it)
-    and zero off-diagonal — the factor of the padded matrix embeds the
-    factor of the true one.
+    ``offsets`` must be the LOWER-triangle manifest (`_lower_offsets`):
+    the blocked factor reads only the lower triangle, so the upper half
+    stays at its initialised zeros.  Rows/cols in [n, n_pad) come out as
+    an exact identity block: the buffer is initialised with a unit
+    diagonal (every in-range tile pins its own diagonal via
+    `_scaled_tile`, so only the pad rows rely on it) and zero
+    off-diagonal — the factor of the padded matrix embeds the factor of
+    the true one.
 
     The buffer is allocated ONCE and **donated** through every update
     program: at N=50k it is 10.5 GB on a 16 GB chip, so any second copy
-    (a non-aliased scan carry, a post-scan scatter, a resharding) is an
-    instant OOM — this exact failure was measured before the donation
-    chain.  Tiles are fed in bounded chunks so each program stays small.
+    is an instant OOM.  Two measured failure modes shape this code: a
+    non-donated scan carry / post-scan scatter (first 50k OOM), and a
+    write-tile-plus-transpose body that made XLA choose a column-major
+    carry layout and insert a whole-matrix layout copy (second 50k OOM —
+    hence single-write lower-triangle tiles and an iota-comparison init
+    instead of a scatter).  Tiles are fed in bounded chunks so each
+    program stays small.
     """
     row = row_sharded(mesh)
     snap = settings.snapshot()
@@ -122,8 +144,9 @@ def _assemble_scaled(model, x_all, s_pad, offsets, b, n, n_pad, mesh,
     @functools.partial(jax.jit, static_argnames=("n_pad",),
                        out_shardings=row)
     def init(n_pad):
-        idx = jnp.arange(n_pad)
-        return jnp.zeros((n_pad, n_pad), jnp.float32).at[idx, idx].set(1.0)
+        i = lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
+        j = lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+        return jnp.where(i == j, 1.0, 0.0).astype(jnp.float32)
 
     @functools.partial(jax.jit, donate_argnums=0,
                        static_argnames=("b", "n", "snap"),
@@ -133,9 +156,7 @@ def _assemble_scaled(model, x_all, s_pad, offsets, b, n, n_pad, mesh,
 
         def body(k, off):
             blk = _scaled_tile(model, x_all, s_pad, off[0], off[1], b, n)
-            k = lax.dynamic_update_slice(k, blk, (off[0], off[1]))
-            k = lax.dynamic_update_slice(k, blk.T, (off[1], off[0]))
-            return k, None
+            return lax.dynamic_update_slice(k, blk, (off[0], off[1])), None
 
         return lax.scan(body, k, offs)[0]
 
@@ -259,6 +280,13 @@ def classify_device_large(model, train_x, train_y, *splits,
     decomposed; residuals are measured through the same float32
     regeneration matvec (floor ~sqrt(N) * eps32; validated against the
     float64 scipy solve up to 16k in scripts/solver_validation.py).
+
+    ``jitter`` is relative to the mean Gram diagonal (the same
+    scale-normalised convention as ``classify_device`` and the
+    classify_e2e ``--jitter`` flag): the raw system solved is
+    ``K + jitter * mean(diag(K)) * I``.  Paper-config diagonals are ~1e12
+    (solve_dist.py), so a raw 1e-6 would be relative 1e-18 — silently no
+    regularisation at all.
     """
     if mesh is None:
         mesh = make_mesh()
@@ -293,15 +321,17 @@ def classify_device_large(model, train_x, train_y, *splits,
     diag = np.asarray(_diag_scan_jit(
         model, x_all, jnp.asarray(np.arange(0, m_pad, b, dtype=np.int32)),
         b, n, m_pad, snap), np.float64)[:n]
-    s64 = 1.0 / np.sqrt(diag + jitter)
+    jitter_raw = jitter * float(np.mean(diag))
+    s64 = 1.0 / np.sqrt(diag + jitter_raw)
     s_pad = np.ones(n_pad, np.float32)
     s_pad[:n] = s64
     s_dev = jnp.asarray(s_pad[:m_pad])
     tick("diag+scale")
 
-    # 2. scaled Gram assembled straight into the factorisation buffer
-    k = _assemble_scaled(model, x_all, jnp.asarray(s_pad), offsets,
-                         b, n, n_pad, mesh)
+    # 2. scaled Gram (lower triangle, all the factor reads) assembled
+    # straight into the factorisation buffer
+    k = _assemble_scaled(model, x_all, jnp.asarray(s_pad),
+                         _lower_offsets(n, b), b, n, n_pad, mesh)
     k.block_until_ready()
     tick("assemble")
 

@@ -72,9 +72,8 @@ def main(_):
                                      make_mesh)
 
     if FLAGS.cpu and jax.default_backend() != "cpu":
-        import jax.extend
-        jax.extend.backend.clear_backends()
-        jax.config.update("jax_platforms", "cpu")
+        import cnn_gp_tpu
+        cnn_gp_tpu.use_platform("cpu")
     print(f"backend: {jax.default_backend()} x{len(jax.devices())}")
 
     config = configs.load(FLAGS.config)
@@ -125,8 +124,11 @@ def main(_):
         record("chol_dist", _dist)
     if "cg" in solvers:
         def _cg():
+            # cg_solve_sharded applies jitter itself (matvec + jacobi
+            # preconditioner) -- building kxx + jitter*eye here would
+            # cost two N^2 float64 temporaries on the single-core host
             a, rel, iters = cg_solve_sharded(
-                kxx + jitter * np.eye(n), y, jitter=0.0, mesh=mesh,
+                kxx, y, jitter=jitter, mesh=mesh,
                 tol=FLAGS.cg_tol, maxiter=FLAGS.cg_maxiter)
             return a, f"jacobi-CG, {iters} iters"
         record("cg", _cg)

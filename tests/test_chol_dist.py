@@ -46,6 +46,27 @@ def test_factor_matches_lapack(mesh, n, block):
                                atol=1e-5 * np.abs(want).max())
 
 
+def test_factor_reads_only_lower_triangle(mesh):
+    """The factor's input contract is lower-triangle-only: the large-N
+    assembly (device_large.py) never writes the upper half, and when the
+    Gram tile grid is FINER than the factor block the unwritten region
+    even cuts through diagonal blocks.  Garbage (here: zeros and NaNs)
+    strictly above the diagonal must not change the factor — this guards
+    the jnp.linalg.cholesky (A+A^T)/2 symmetrization trap that NaN'd the
+    b < block case."""
+    k = _spd(64, seed=7)
+    want = np.linalg.cholesky(k)
+    y = np.random.RandomState(8).randn(64, 3)
+    want_a = np.linalg.solve(k, y)
+    for garbage in (np.zeros_like(k), np.full_like(k, np.nan)):
+        klow = np.tril(k) + np.triu(garbage, 1)
+        got = cholesky_sharded(klow, mesh, block=16)
+        np.testing.assert_allclose(got, want, rtol=1e-4,
+                                   atol=1e-5 * np.abs(want).max())
+        a = cholesky_solve_sharded(klow, y, mesh, block=16)
+        np.testing.assert_allclose(a, want_a, rtol=1e-3, atol=1e-4)
+
+
 def test_f32_solve_matches(mesh):
     k = _spd(90, seed=3)
     y = np.random.RandomState(4).randn(90, 10)

@@ -127,6 +127,54 @@ def test_per_image_transform_fallback(fake_mnist):
     assert ds.train.images.min() >= 1.0
 
 
+def test_axis_flipping_transform_keeps_image_order(fake_mnist):
+    """A per-image transform that happens to preserve the batch shape when
+    misapplied to the pool (img[::-1] reverses image ORDER batched, but
+    flips the channel/row axis per image) must be applied per image: the
+    image<->label pairing may never change."""
+    root, _, _ = fake_mnist
+
+    class Plain:
+        dataset_name = "MNIST"
+        train_range = range(0, 20)
+        validation_range = range(20, 25)
+        test_range = range(25, 30)
+        transforms = []
+        in_channels = 1
+
+    class Flipped(Plain):
+        transforms = [lambda img: img[:, ::-1]]   # vertical flip per image
+
+    plain = datasets.DatasetFromConfig(root, Plain)
+    flip = datasets.DatasetFromConfig(root, Flipped)
+    np.testing.assert_array_equal(plain.train.labels, flip.train.labels)
+    np.testing.assert_array_equal(plain.train.images[:, :, ::-1],
+                                  flip.train.images)
+
+
+def test_vectorized_transform_opt_in(fake_mnist):
+    """`t.vectorized = True` hands the whole pool to the callable once."""
+    root, _, _ = fake_mnist
+    calls = []
+
+    def t(pool):
+        calls.append(pool.shape)
+        return pool * 2.0
+    t.vectorized = True
+
+    class Cfg:
+        dataset_name = "MNIST"
+        train_range = range(0, 10)
+        validation_range = range(10, 15)
+        test_range = range(15, 20)
+        transforms = [t]
+        in_channels = 1
+
+    ds = datasets.DatasetFromConfig(root, Cfg)
+    assert len(calls) == 1 and len(calls[0]) == 4
+    assert ds.train.images.max() > 1.0
+
+
 def test_corrupt_labels_fail_loudly(fake_mnist, tmp_path):
     root, tr, _ = fake_mnist
     raw = os.path.join(root, "MNIST", "MNIST", "raw")

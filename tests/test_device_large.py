@@ -108,20 +108,26 @@ def test_classify_large_padding_edges(mesh):
                                     progress=False), np.float64)
     kzx = np.asarray(gram_in_memory(model, te_x, tr_x, batch_size=16,
                                     progress=False), np.float64)
-    a_ref = solve.solve_gp(kxx, solve.one_hot_targets(tr_y), jitter=1e-6,
-                           method="scipy")
+    # jitter is scale-normalised (relative to the mean diagonal)
+    jit_raw = 1e-6 * float(np.mean(np.diagonal(kxx)))
+    a_ref = solve.solve_gp(kxx, solve.one_hot_targets(tr_y),
+                           jitter=jit_raw, method="scipy")
     np.testing.assert_array_equal(info["predictions"][0],
                                   solve.predict(kzx, a_ref))
 
 
 def test_assemble_chunked_matches_explicit(small_model):
-    """The donated chunked assembly (with idempotent pad-tile rewrites)
-    must equal the explicitly scaled Gram regardless of chunk size."""
+    """The donated chunked lower-triangle assembly (with idempotent
+    pad-tile rewrites) must equal the explicitly scaled Gram's lower
+    triangle regardless of chunk size, with an exact identity pad block
+    and zeros above the diagonal.  n=43 makes the tile cover (48) exceed
+    n, so pad rows inside a written tile are exercised too."""
     from cnn_gp_tpu.parallel.device_large import (_assemble_scaled,
-                                                  _upper_offsets)
+                                                  _lower_offsets)
     from cnn_gp_tpu.parallel.gram import _pad_to_multiple
     import jax.numpy as jnp
-    x, _, _, _ = synthetic_arrays(n_train=40, n_test=0, shape=(1, 7, 7))
+    n = 43
+    x, _, _, _ = synthetic_arrays(n_train=n, n_test=0, shape=(1, 7, 7))
     k = np.asarray(gram_in_memory(small_model, x, batch_size=8,
                                   progress=False), np.float64)
     s64 = 1.0 / np.sqrt(np.diagonal(k))
@@ -130,15 +136,20 @@ def test_assemble_chunked_matches_explicit(small_model):
     mesh1 = make_mesh(n_devices=1)
     n_pad = 48
     s_pad = np.ones(n_pad, np.float32)
-    s_pad[:40] = s64
+    s_pad[:n] = s64
     x_all = jnp.asarray(_pad_to_multiple(np.asarray(x, np.float32), 8))
     for tiles_per_call in (3, 7, 1000):
         got = np.asarray(_assemble_scaled(
-            small_model, x_all, jnp.asarray(s_pad), _upper_offsets(40, 8),
-            8, 40, n_pad, mesh1, tiles_per_call=tiles_per_call))
-        np.testing.assert_allclose(got[:40, :40], want, rtol=2e-5,
-                                   atol=2e-5)
-        assert (got[40:] == np.eye(48, dtype=np.float32)[40:]).all()
+            small_model, x_all, jnp.asarray(s_pad), _lower_offsets(n, 8),
+            8, n, n_pad, mesh1, tiles_per_call=tiles_per_call))
+        np.testing.assert_allclose(np.tril(got[:n, :n]), np.tril(want),
+                                   rtol=2e-5, atol=2e-5)
+        eye = np.eye(n_pad, dtype=np.float32)
+        assert (got[n:] == eye[n:]).all()          # identity pad rows
+        assert (np.triu(got, 1)[:, n:] == 0).all()  # pad cols above diag
+        # no tile with tile-col > tile-row is ever written: everything at
+        # least one full tile above the diagonal stays at the init zeros
+        assert (np.triu(got, 8) == 0).all()
 
 
 def test_classify_large_single_device():
@@ -154,7 +165,8 @@ def test_classify_large_single_device():
                                     progress=False), np.float64)
     kzx = np.asarray(gram_in_memory(model, te_x, tr_x, batch_size=16,
                                     progress=False), np.float64)
-    a_ref = solve.solve_gp(kxx, solve.one_hot_targets(tr_y), jitter=1e-6,
-                           method="scipy")
+    jit_raw = 1e-6 * float(np.mean(np.diagonal(kxx)))
+    a_ref = solve.solve_gp(kxx, solve.one_hot_targets(tr_y),
+                           jitter=jit_raw, method="scipy")
     np.testing.assert_array_equal(info["predictions"][0],
                                   solve.predict(kzx, a_ref))
