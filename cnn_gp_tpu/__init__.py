@@ -53,6 +53,15 @@ def _apply_default_cache_dir():
             return                      # explicit user config: keep it
         plat = (getattr(jax.config, "jax_platforms", None)
                 or _os.environ.get("JAX_PLATFORMS") or "auto")
+        if plat == "cpu":
+            # no default cache for pure-CPU runs: on remote-compile
+            # runtimes even XLA:CPU programs can come back as AOT
+            # artifacts for the *service* machine's CPU (observed:
+            # feature-mismatch load warnings, SIGILL risk), and local CPU
+            # compiles are fast anyway.  Opt in via the env var if wanted.
+            if current:
+                jax.config.update("jax_compilation_cache_dir", "")
+            return
         jax.config.update("jax_compilation_cache_dir", _CACHE_ROOT + plat)
     except Exception:  # pragma: no cover - best effort
         pass
