@@ -179,21 +179,35 @@ class _ShardedFactor:
         self.diags = None
         self._solvers = {}
 
-    def _upload_rows(self, make_rows):
-        """Build the row-sharded device matrix one device shard at a time
-        (blocked host->device I/O: never a second whole-matrix host copy).
+    def _upload_rows(self, make_rows, io_rows: int = 4096):
+        """Build the row-sharded device matrix in bounded row chunks
+        (blocked host->device I/O: never a second whole-matrix host copy,
+        independent of the device count — a per-device-shard upload would
+        still be the full matrix on a one-chip mesh).
 
         ``make_rows(r0, r1) -> float32 [r1-r0, n_pad]`` produces global
-        rows [r0, r1) already padded/identity-extended.
+        rows [r0, r1) already padded/identity-extended.  The tail chunk
+        is handled by sliding the last window back (idempotent rewrite),
+        so ONE compiled writer program serves every chunk.
         """
         row = NamedSharding(self.mesh, P(self.axis, None))
-        shards = []
-        for d, dev in enumerate(self.mesh.devices.flat):
-            r0 = d * self.rows_local
-            shards.append(jax.device_put(
-                make_rows(r0, r0 + self.rows_local), dev))
-        return jax.make_array_from_single_device_arrays(
-            (self.n_pad, self.n_pad), row, shards)
+        n_pad = self.n_pad
+
+        @functools.partial(jax.jit, static_argnames=("n_pad",),
+                           out_shardings=row)
+        def init(n_pad):
+            return jnp.zeros((n_pad, n_pad), jnp.float32)
+
+        @functools.partial(jax.jit, donate_argnums=0, out_shardings=row)
+        def write(k, rows, r0):
+            return lax.dynamic_update_slice(k, rows, (r0, 0))
+
+        k = init(n_pad)
+        c = min(io_rows, n_pad)
+        starts = list(range(0, n_pad - c, c)) + [n_pad - c]
+        for r0 in starts:
+            k = write(k, jnp.asarray(make_rows(r0, r0 + c)), np.int32(r0))
+        return k
 
     def factorize(self, ks32: np.ndarray) -> None:
         """Upload (row-sharded, identity-padded) and factorise in place."""
