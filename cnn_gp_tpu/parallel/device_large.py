@@ -7,11 +7,14 @@ at 16k^2 — and its float64 refinement downloads the N^2 Gram to the host,
 which a tunneled runtime cannot survive at 32k+ (BASELINE.md).  Here the
 train Gram **never exists on the host and never crosses the link**:
 
-* the Jacobi-equilibrated (scaled) Gram is assembled by one jitted
-  `lax.scan` over the upper-triangle tile manifest *directly into* the
-  padded buffer that the blocked sharded Cholesky (chol_dist.py) then
-  factorises in place — peak HBM is one [N_pad, N_pad] float32 plus tile
-  transients (10.5 GB at N=50k on a 16 GB v5e);
+* the Jacobi-equilibrated (scaled) Gram's LOWER TRIANGLE — all the
+  blocked factor reads — is assembled by donated bounded-chunk scan
+  programs over the lower tile manifest *directly into* the padded
+  buffer that the blocked sharded Cholesky (chol_dist.py) then
+  factorises in place, itself one donated program per block step — peak
+  HBM is one [N_pad, N_pad] float32 plus bounded transients (10.5 GB at
+  N=50k on a 16 GB v5e; see `_assemble_scaled` and
+  `chol_dist._factor_step_fn` for the measured OOM modes this dodges);
 * iterative-refinement residuals are computed by a **matvec against a
   matrix that is never materialised**: a second scan regenerates each
   scaled Gram tile on the fly and immediately contracts it with the
