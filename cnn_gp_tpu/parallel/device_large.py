@@ -179,46 +179,85 @@ def _assemble_scaled(model, x_all, s_pad, offsets, b, n, n_pad, mesh,
     return k
 
 
-@functools.partial(jax.jit, static_argnames=("b", "n", "snap"))
-def _matvec_scan_jit(model, x_all, s_pad, offsets, a_pad, b, n, snap):
-    """M @ a via tile regeneration: never materialises M."""
+def _chunk_weighted(offsets, tiles_per_call: int):
+    """Split a [T, 2] tile manifest into fixed-size [c, 3] chunks of
+    (i0, j0, weight): the tail is padded with weight-0 repeats of its last
+    tile, so ONE compiled program serves every chunk and pad tiles
+    contribute exactly nothing to a weighted accumulation.  Bounded
+    programs are the house rule on this runtime (remote-compile payload
+    limits, multi-minute single dispatches that outlive tunnel timeouts
+    -- see BASELINE.md); a 50k matvec is a 76,636-tile sweep."""
+    offsets = np.asarray(offsets)
+    c = min(tiles_per_call, len(offsets))
+    w = np.ones((len(offsets), 1), np.int32)
+    offs = np.concatenate([offsets, w], axis=1)
+    chunks = []
+    for r0 in range(0, len(offs), c):
+        chunk = offs[r0:r0 + c]
+        if len(chunk) < c:
+            pad = np.repeat(chunk[-1:], c - len(chunk), axis=0)
+            pad[:, 2] = 0
+            chunk = np.concatenate([chunk, pad])
+        chunks.append(chunk)
+    return chunks
+
+
+@functools.partial(jax.jit, donate_argnums=0,
+                   static_argnames=("b", "n", "snap"))
+def _matvec_chunk_jit(out, model, x_all, s_pad, offsets, a_pad, b, n, snap):
+    """One bounded chunk of M @ a via tile regeneration (M is never
+    materialised); accumulates into the donated ``out``."""
     del snap
     nrhs = a_pad.shape[1]
 
     def body(out, off):
-        i0, j0 = off[0], off[1]
+        i0, j0, w = off[0], off[1], off[2].astype(jnp.float32)
         blk = _scaled_tile(model, x_all, s_pad, i0, j0, b, n)
         aj = lax.dynamic_slice(a_pad, (j0, 0), (b, nrhs))
-        oi = lax.dynamic_slice(out, (i0, 0), (b, nrhs)) + blk @ aj
+        oi = lax.dynamic_slice(out, (i0, 0), (b, nrhs)) + w * (blk @ aj)
         out = lax.dynamic_update_slice(out, oi, (i0, 0))
         # the mirror tile's contribution -- zero when on the diagonal
-        mirror = (i0 != j0).astype(jnp.float32)
+        mirror = w * (i0 != j0).astype(jnp.float32)
         ai = lax.dynamic_slice(a_pad, (i0, 0), (b, nrhs))
         oj = (lax.dynamic_slice(out, (j0, 0), (b, nrhs))
               + mirror * (blk.T @ ai))
         out = lax.dynamic_update_slice(out, oj, (j0, 0))
         return out, None
 
-    out0 = jnp.zeros_like(a_pad)
-    out, _ = lax.scan(body, out0, offsets)
+    return lax.scan(body, out, offsets)[0]
+
+
+def _matvec_scan(model, x_all, s_pad, offsets, a_pad, b, n, snap,
+                 tiles_per_call: int = 8192):
+    out = jnp.zeros_like(a_pad)
+    for chunk in _chunk_weighted(offsets, tiles_per_call):
+        out = _matvec_chunk_jit(out, model, x_all, s_pad,
+                                jnp.asarray(chunk), a_pad, b, n, snap)
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("b", "snap"))
-def _scores_scan_jit(model, z_all, x_all, offsets, a_pad, b, snap):
-    """(Kzx @ a) via tile regeneration; Kzx is never materialised."""
+@functools.partial(jax.jit, donate_argnums=0, static_argnames=("b", "snap"))
+def _scores_chunk_jit(out, model, z_all, x_all, offsets, a_pad, b, snap):
+    """One bounded chunk of Kzx @ a; accumulates into the donated out."""
     del snap
     nrhs = a_pad.shape[1]
 
     def body(out, off):
-        i0, j0 = off[0], off[1]
+        i0, j0, w = off[0], off[1], off[2].astype(jnp.float32)
         blk = _tile_body(model, z_all, x_all, i0, j0, b, False)
         aj = lax.dynamic_slice(a_pad, (j0, 0), (b, nrhs))
-        oi = lax.dynamic_slice(out, (i0, 0), (b, nrhs)) + blk @ aj
+        oi = lax.dynamic_slice(out, (i0, 0), (b, nrhs)) + w * (blk @ aj)
         return lax.dynamic_update_slice(out, oi, (i0, 0)), None
 
-    out0 = jnp.zeros((z_all.shape[0], nrhs), jnp.float32)
-    out, _ = lax.scan(body, out0, offsets)
+    return lax.scan(body, out, offsets)[0]
+
+
+def _scores_scan(model, z_all, x_all, offsets, a_pad, b, snap,
+                 tiles_per_call: int = 8192):
+    out = jnp.zeros((z_all.shape[0], a_pad.shape[1]), jnp.float32)
+    for chunk in _chunk_weighted(offsets, tiles_per_call):
+        out = _scores_chunk_jit(out, model, z_all, x_all,
+                                jnp.asarray(chunk), a_pad, b, snap)
     return out
 
 
@@ -237,9 +276,9 @@ def gram_matvec_regen(model, X, a: np.ndarray, *, batch_size: int = 128,
     a_pad = np.zeros((m_pad, a.shape[1]), np.float32)
     a_pad[:n] = a
     with jax.default_matmul_precision("highest"):
-        out = _matvec_scan_jit(model, x_all, jnp.asarray(s_pad),
-                               _upper_offsets(n, b), jnp.asarray(a_pad),
-                               b, n, settings.snapshot())
+        out = _matvec_scan(model, x_all, jnp.asarray(s_pad),
+                           _upper_offsets(n, b), jnp.asarray(a_pad),
+                           b, n, settings.snapshot())
     return np.asarray(out)[:n]
 
 
@@ -249,8 +288,8 @@ def _raw_matvec(model, x_all, a, b, n, m_pad):
     a_pad = np.zeros((m_pad, a.shape[1]), np.float32)
     a_pad[:n] = a
     with jax.default_matmul_precision("highest"):
-        out = _scores_scan_jit(model, x_all, x_all, _rect_offsets(n, n, b),
-                               jnp.asarray(a_pad), b, settings.snapshot())
+        out = _scores_scan(model, x_all, x_all, _rect_offsets(n, n, b),
+                           jnp.asarray(a_pad), b, settings.snapshot())
     return np.asarray(out)[:n]
 
 
@@ -264,9 +303,9 @@ def scores_regen(model, Z, X, a: np.ndarray, *,
     a_pad = np.zeros((x_all.shape[0], a.shape[1]), np.float32)
     a_pad[:len(X)] = a
     with jax.default_matmul_precision("highest"):
-        out = _scores_scan_jit(model, z_all, x_all,
-                               _rect_offsets(len(Z), len(X), b),
-                               jnp.asarray(a_pad), b, settings.snapshot())
+        out = _scores_scan(model, z_all, x_all,
+                           _rect_offsets(len(Z), len(X), b),
+                           jnp.asarray(a_pad), b, settings.snapshot())
     return np.asarray(out)[:len(Z)]
 
 
@@ -353,8 +392,8 @@ def classify_device_large(model, train_x, train_y, *splits,
     def matvec(a64):
         a_pad = np.zeros((m_pad, a64.shape[1]), np.float32)
         a_pad[:n] = a64
-        out = _matvec_scan_jit(model, x_all, s_dev, offsets,
-                               jnp.asarray(a_pad), b, n, snap)
+        out = _matvec_scan(model, x_all, s_dev, offsets,
+                           jnp.asarray(a_pad), b, n, snap)
         return np.asarray(out, np.float64)[:n]
 
     with jax.default_matmul_precision("highest"):

@@ -152,6 +152,47 @@ def test_assemble_chunked_matches_explicit(small_model):
         assert (np.triu(got, 8) == 0).all()
 
 
+def test_chunked_matvec_weight_padding(small_model):
+    """The bounded-chunk matvec/scores sweeps must accumulate exactly once
+    per tile for every chunk size — tail chunks are padded with weight-0
+    tiles (a repeat-pad would double-count, unlike assembly's idempotent
+    rewrites)."""
+    from cnn_gp_tpu import settings
+    from cnn_gp_tpu.parallel.device_large import (_matvec_scan,
+                                                  _rect_offsets,
+                                                  _scores_scan,
+                                                  _upper_offsets)
+    from cnn_gp_tpu.parallel.gram import _pad_to_multiple
+    import jax
+    import jax.numpy as jnp
+    n = 40
+    x, _, z, _ = synthetic_arrays(n_train=n, n_test=16, shape=(1, 7, 7))
+    k = np.asarray(gram_in_memory(small_model, x, batch_size=8,
+                                  progress=False), np.float64)
+    kzx = np.asarray(gram_in_memory(small_model, z, x, batch_size=8,
+                                    progress=False), np.float64)
+    s = (1.0 / np.sqrt(np.diagonal(k))).astype(np.float32)
+    m = s[:, None] * k * s[None, :]
+    np.fill_diagonal(m, 1.0)
+    a = np.random.RandomState(3).randn(n, 4).astype(np.float32)
+    x_all = jnp.asarray(_pad_to_multiple(np.asarray(x, np.float32), 8))
+    z_all = jnp.asarray(_pad_to_multiple(np.asarray(z, np.float32), 8))
+    a_pad = jnp.asarray(np.concatenate([a, np.zeros((x_all.shape[0] - n, 4),
+                                                    np.float32)]))
+    snap = settings.snapshot()
+    with jax.default_matmul_precision("highest"):
+        for c in (1, 4, 7, 10**6):
+            got = np.asarray(_matvec_scan(
+                small_model, x_all, jnp.asarray(s), _upper_offsets(n, 8),
+                a_pad, 8, n, snap, tiles_per_call=c))[:n]
+            np.testing.assert_allclose(got, m @ a, rtol=2e-5, atol=2e-5)
+            gs = np.asarray(_scores_scan(
+                small_model, z_all, x_all, _rect_offsets(16, n, 8),
+                a_pad, 8, snap, tiles_per_call=c))[:16]
+            np.testing.assert_allclose(
+                gs, kzx @ a, rtol=2e-5, atol=2e-5 * np.abs(kzx @ a).max())
+
+
 def test_classify_large_single_device():
     """The real deployment shape: one chip, one-device mesh."""
     mesh1 = make_mesh(n_devices=1)
