@@ -84,20 +84,34 @@ def _measure(config_name, shape):
         rng.rand(BATCH * 4, *shape).astype(np.float32))
     snap = settings.snapshot()
 
+    @jax.jit
+    def _sync_sum(rs):
+        # one scalar depending on EVERY dispatched tile: fetching it
+        # bounds all of them even if the runtime overlaps independent
+        # programs (fetching only the last tile does not -- measured
+        # "above VPU peak" artifacts under best-of-2 timing)
+        return sum(r[0, 0] for r in rs)
+
     def run(n):
         t0 = time.perf_counter()
-        r = None
-        for k in range(n):
-            r = _tile_jit(model, x, x, BATCH * (k % 4),
-                          BATCH * ((k * 7 + 1) % 4), BATCH, True, snap)
-        np.asarray(r)  # fetch forces full sync on tunneled platforms
+        rs = [_tile_jit(model, x, x, BATCH * (k % 4),
+                        BATCH * ((k * 7 + 1) % 4), BATCH, True, snap)
+              for k in range(n)]
+        np.asarray(_sync_sum(rs))  # fetch forces full sync
         return time.perf_counter() - t0
 
     for _ in range(N_WARM):
         run(1)
-    t1 = run(N1)
-    t2 = run(N2)
-    per_tile = (t2 - t1) / (N2 - N1)
+    # best-of-2 marginal measurements: the tunneled runtime's dispatch
+    # timing is noisy run-to-run (observed 4.2-6.1M entries/s on the same
+    # code); taking the fastest pass cancels one-off stalls without
+    # biasing the steady-state number
+    def marginal():
+        t1 = run(N1)
+        t2 = run(N2)
+        return (t2 - t1) / (N2 - N1)
+
+    per_tile = min(marginal() for _ in range(2))
 
     # XLA's own FLOP estimate for the compiled tile program
     flops = None

@@ -62,7 +62,11 @@ if __name__ == "__main__":
     f.DEFINE_boolean("large", False,
                      "use the matrix-free large-N path (blocked sharded "
                      "Cholesky; the Gram never leaves the device)")
-    f.DEFINE_integer("block", 2048, "Cholesky block size (--large)")
+    f.DEFINE_integer("block", 2048, "Cholesky block size (--large).  At "
+                     "N near the HBM edge shrink it: per-step temporaries "
+                     "are ~3*N_pad*block floats on top of the N_pad^2 "
+                     "buffer (60k on a 16 GB v5e ran with block=1024, "
+                     "BASELINE.md)")
     f.DEFINE_integer("refine_iters", 3,
                      "refinement matvec passes cap (--large)")
     absl.app.run(main)
