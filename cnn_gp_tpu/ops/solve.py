@@ -39,7 +39,7 @@ import numpy as np
 
 __all__ = ["one_hot_targets", "diag_add", "symmetrize_from_upper",
            "solve_gp", "predict", "accuracy", "classify",
-           "refine_with_factor"]
+           "refine_with_factor", "predictive_variance"]
 
 
 def one_hot_targets(labels: np.ndarray, n_classes: Optional[int] = None,
@@ -166,6 +166,32 @@ def predict(kzx: np.ndarray, a: np.ndarray) -> np.ndarray:
 
 def accuracy(pred: np.ndarray, labels: np.ndarray) -> float:
     return float(np.mean(np.asarray(pred) == np.asarray(labels)))
+
+
+def predictive_variance(kxx: np.ndarray, kzx: np.ndarray,
+                        kzz_diag: np.ndarray,
+                        jitter: float = 0.0) -> np.ndarray:
+    """GP posterior variance per test point:
+    ``var_z = k_zz - k_zx (Kxx + jitter I)^-1 k_xz``.
+
+    A capability the reference framework computes nowhere (it reports only
+    argmax mean predictions, reference: exp_mnist_resnet/classify_gp.py:
+    39-42) but that the underlying GP gives for free.  float64 host oracle
+    via one Cholesky + a triangular solve; clipped at 0 (round-off can
+    land epsilon-negative for nearly-interpolated points).  The
+    device-resident matrix-free equivalent at large N is
+    ``parallel.device_large.classify_device_large(variances=True)``.
+    """
+    import scipy.linalg
+    kxx = np.array(kxx, np.float64)
+    if jitter:
+        diag_add(kxx, jitter)
+    c, low = scipy.linalg.cho_factor(kxx, lower=True, check_finite=False)
+    # v = L^-1 k_xz ; var = k_zz - sum(v^2)
+    v = scipy.linalg.solve_triangular(c, np.asarray(kzx, np.float64).T,
+                                      lower=low, check_finite=False)
+    return np.maximum(np.asarray(kzz_diag, np.float64) - (v * v).sum(0),
+                      0.0)
 
 
 def classify(kxx: np.ndarray, train_labels: np.ndarray, jitter: float = 0.0,

@@ -124,7 +124,8 @@ def _factor_step_fn(axis: str, n_pad: int, block: int, rows_local: int):
     return step
 
 
-def _solve_fn(axis: str, n_pad: int, block: int, rows_local: int, nrhs: int):
+def _solve_fn(axis: str, n_pad: int, block: int, rows_local: int, nrhs: int,
+              forward_only: bool = False):
     nb = n_pad // block
 
     def solve(l_loc, diags, b):  # b: [n_pad, nrhs] replicated
@@ -159,6 +160,8 @@ def _solve_fn(axis: str, n_pad: int, block: int, rows_local: int, nrhs: int):
             return lax.dynamic_update_slice(a, ak, (c0, 0))
 
         y = lax.fori_loop(0, nb, fwd, b)
+        if forward_only:         # L^-1 b (whitening; predictive variance)
+            return y
         return lax.fori_loop(0, nb, bwd, y)
 
     return solve
@@ -297,6 +300,32 @@ class _ShardedFactor:
             for kb in range(nb):
                 k_dev, diags = step(k_dev, diags, np.int32(kb))
         self.l_loc, self.diags = k_dev, diags
+
+    def forward_sumsq(self, w_dev) -> jax.Array:
+        """``sum(L^-1 W ** 2, axis=0)`` for a device-resident replicated
+        ``W`` [n_pad, m]: the squared whitened cross-covariance column
+        norms that predictive variance subtracts
+        (``device_large.classify_device_large(variances=True)``).  One
+        bounded program per (m,) shape."""
+        m = w_dev.shape[1]
+        key = ("fwd_sumsq", m)
+        if key not in self._solvers:
+            fwd = _solve_fn(self.axis, self.n_pad, self.block,
+                            self.rows_local, m, forward_only=True)
+
+            def sumsq(l_loc, diags, w):
+                v = fwd(l_loc, diags, w)
+                return jnp.sum(v * v, axis=0)
+
+            # no donation: the [m] output can never alias the [n_pad, m]
+            # input, and an unusable donation only emits warnings; W is
+            # dropped by the caller right after the call anyway
+            self._solvers[key] = jax.jit(jax.shard_map(
+                sumsq, mesh=self.mesh, in_specs=(P(self.axis, None), P(),
+                                                 P()),
+                out_specs=P(), check_vma=False))
+        with jax.default_matmul_precision("highest"):
+            return self._solvers[key](self.l_loc, self.diags, w_dev)
 
     def solve(self, rhs: np.ndarray) -> np.ndarray:
         """(L L^T)^{-1} rhs through the device factor (float32)."""

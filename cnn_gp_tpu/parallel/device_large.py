@@ -261,6 +261,54 @@ def _scores_scan(model, z_all, x_all, offsets, a_pad, b, snap,
     return out
 
 
+@functools.partial(jax.jit, donate_argnums=0,
+                   static_argnames=("b", "n", "snap"))
+def _xz_scaled_chunk_jit(w, model, x_all, z_blk, s_pad, offsets, b, n,
+                         snap):
+    """Scaled cross-covariance block ``W[:, :] = s * K(x, z_blk)``
+    assembled tile-by-tile into the donated [n_pad, cb] buffer (rows >= n
+    stay zero, so the identity pad block of the factor maps them to
+    zero)."""
+    del snap
+
+    def body(w, off):
+        i0, j0 = off[0], off[1]
+        blk = _tile_body(model, x_all, z_blk, i0, j0, b, False)
+        rows = i0 + jnp.arange(b)
+        sr = lax.dynamic_slice(s_pad, (i0,), (b,))
+        blk = blk * sr[:, None]
+        blk = jnp.where((rows < n)[:, None], blk, 0.0)
+        return lax.dynamic_update_slice(w, blk, (i0, j0)), None
+
+    return lax.scan(body, w, offsets)[0]
+
+
+def _predictive_variances(factor, model, x_all, z_all, s_pad_dev, kzz,
+                          b, n, snap, cb: int = 512):
+    """Matrix-free GP posterior variances through the device factor:
+    ``var_z = k_zz - || L^-1 (s * k_xz) ||^2`` (the factor is of the
+    equilibrated ``M = D^-1/2 (K + jr I) D^-1/2``, so the s-scaled cross
+    columns whiten correctly).  Cross columns are regenerated per
+    bounded [n_pad, cb] block and never exist in full; accuracy is the
+    float32 accumulation floor (~eps32 * k_zz absolute — fine for
+    ranking/calibration, not for tiny variances under a ~1e12 kernel
+    scale)."""
+    m_pad = z_all.shape[0]
+    n_pad = factor.n_pad
+    cb = min(cb, m_pad)
+    out = np.empty(m_pad, np.float32)
+    starts = list(range(0, m_pad - cb, cb)) + [m_pad - cb]
+    offsets = _rect_offsets(n, cb, b)
+    with jax.default_matmul_precision("highest"):
+        for c0 in starts:           # slide-back tail: idempotent rewrite
+            w = jnp.zeros((n_pad, cb), jnp.float32)
+            w = _xz_scaled_chunk_jit(w, model, x_all,
+                                     lax.slice_in_dim(z_all, c0, c0 + cb),
+                                     s_pad_dev, offsets, b, n, snap)
+            out[c0:c0 + cb] = np.asarray(factor.forward_sumsq(w))
+    return np.maximum(np.asarray(kzz, np.float64)[:m_pad] - out, 0.0)
+
+
 def gram_matvec_regen(model, X, a: np.ndarray, *, batch_size: int = 128,
                       s: Optional[np.ndarray] = None) -> np.ndarray:
     """K(X, X) @ a (or the scaled/pinned M @ a when ``s`` is given) computed
@@ -313,6 +361,7 @@ def classify_device_large(model, train_x, train_y, *splits,
                           batch_size: int = 128, block: int = 2048,
                           jitter: float = 0.0, refine_iters: int = 3,
                           tol: Optional[float] = None, mesh=None,
+                          variances: bool = False,
                           verbose: bool = True):
     """GP classification at scales where nothing N^2 may leave the device.
 
@@ -329,6 +378,13 @@ def classify_device_large(model, train_x, train_y, *splits,
     ``K + jitter * mean(diag(K)) * I``.  Paper-config diagonals are ~1e12
     (solve_dist.py), so a raw 1e-6 would be relative 1e-18 — silently no
     regularisation at all.
+
+    With ``variances=True``, ``info["variances"]`` holds per-split GP
+    posterior variances ``k_zz - k_zx (K + jr I)^-1 k_xz`` computed
+    matrix-free through the device factor (the reference framework has no
+    uncertainty output at all; the float64 oracle is
+    ``ops.solve.predictive_variance``).  Float32 accumulation floor:
+    absolute error ~ eps32 * k_zz.
     """
     if mesh is None:
         mesh = make_mesh()
@@ -412,9 +468,27 @@ def classify_device_large(model, train_x, train_y, *splits,
             elif rel > 0.9 * best_rel:
                 break
     a_final = s64[:, None] * best_a          # back to the original space
+    tick("solve+refine")
+
+    # 4b. optional predictive variances -- needs the live factor
+    var_list = None
+    if variances:
+        var_list = []
+        for xz, _ in splits:
+            z_all = jnp.asarray(
+                _pad_to_multiple(np.asarray(xz, np.float32), b))
+            mz = z_all.shape[0]
+            kzz = np.asarray(_diag_scan_jit(
+                model, z_all,
+                jnp.asarray(np.arange(0, mz, b, dtype=np.int32)),
+                b, n, mz, snap), np.float64)
+            var_list.append(_predictive_variances(
+                factor, model, x_all, z_all, s_dev, kzz, b, n,
+                snap)[:len(xz)])
+        tick("variances")
+
     factor.l_loc = factor.diags = None       # release ~N^2 HBM for scoring
     factor._solvers.clear()
-    tick("solve+refine")
 
     # 5. per-split scores via regeneration; only [n_split, C] is fetched
     accs, preds = [], []
@@ -427,5 +501,6 @@ def classify_device_large(model, train_x, train_y, *splits,
 
     info = {"rel_residual": best_rel, "refinements": iters,
             "n": n, "n_pad": n_pad, "block": block, "predictions": preds,
+            "variances": var_list,
             "timings_s": {k_: v for k_, v in t.items() if k_ != "t0"}}
     return accs, info

@@ -42,7 +42,8 @@ def main(_):
     t0 = time.perf_counter()
     accs, info = classify_device_large(
         model, tr_x, tr_y, *splits,
-        batch_size=FLAGS.batch_size, block=FLAGS.block)
+        batch_size=FLAGS.batch_size, block=FLAGS.block,
+        refine_iters=FLAGS.refine_iters)
     wall = time.perf_counter() - t0
     print(f"accs {accs} wall {wall:.1f}s rel {info['rel_residual']:.2e} "
           f"refinements {info['refinements']} timings {info['timings_s']}",
@@ -78,6 +79,10 @@ if __name__ == "__main__":
     f.DEFINE_integer("batch_size", 128, "Gram tile size")
     f.DEFINE_integer("block", 2048, "Cholesky block size")
     f.DEFINE_integer("seed", 0, "synthetic data seed")
+    f.DEFINE_integer("refine_iters", 3,
+                     "refinement sweeps cap; 0 = solve once and report "
+                     "the residual of the unrefined iterate (each sweep "
+                     "costs ~ one assembly pass)")
     f.DEFINE_boolean("check_scipy", False,
                      "cross-check predictions against the float64 scipy "
                      "pipeline (explicit Grams; feasible to ~16k)")

@@ -193,6 +193,38 @@ def test_chunked_matvec_weight_padding(small_model):
                 gs, kzx @ a, rtol=2e-5, atol=2e-5 * np.abs(kzx @ a).max())
 
 
+def test_predictive_variances_match_oracle(mesh, small_model):
+    """Matrix-free device variances == the float64 cho_factor oracle
+    (ops.solve.predictive_variance) on explicit Grams — including the
+    jitter entering through the equilibration scaling."""
+    from cnn_gp_tpu.ops.solve import predictive_variance
+    tr_x, tr_y, te_x, te_y = synthetic_arrays(
+        n_train=52, n_test=18, shape=(1, 7, 7), seed=9)
+    jitter = 1e-4
+    accs, info = classify_device_large(
+        small_model, tr_x, tr_y, (te_x, te_y),
+        batch_size=8, block=8, jitter=jitter, mesh=mesh,
+        variances=True, verbose=False)
+    kxx = np.asarray(gram_in_memory(small_model, tr_x, batch_size=8,
+                                    progress=False), np.float64)
+    kzx = np.asarray(gram_in_memory(small_model, te_x, tr_x, batch_size=8,
+                                    progress=False), np.float64)
+    kzz = np.asarray(gram_in_memory(small_model, te_x, batch_size=8,
+                                    progress=False), np.float64)
+    jr = jitter * float(np.mean(np.diagonal(kxx)))
+    want = predictive_variance(kxx, kzx, np.diagonal(kzz), jitter=jr)
+    got = info["variances"][0]
+    assert got.shape == (18,)
+    assert (got >= 0).all()
+    scale = float(np.diagonal(kzz).mean())
+    np.testing.assert_allclose(got, want, atol=5e-6 * scale, rtol=2e-4)
+    # sanity vs the naive inverse formula too
+    naive = np.diagonal(kzz) - np.einsum(
+        "ij,ij->i", kzx, kzx @ np.linalg.inv(kxx + jr * np.eye(52)))
+    np.testing.assert_allclose(want, np.maximum(naive, 0.0),
+                               atol=1e-8 * scale)
+
+
 def test_classify_large_single_device():
     """The real deployment shape: one chip, one-device mesh."""
     mesh1 = make_mesh(n_devices=1)
