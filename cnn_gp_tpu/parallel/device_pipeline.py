@@ -81,13 +81,20 @@ def _solve_predict_jit(kxx, y_onehot, kzx_stack, jitter):
 
 def classify_device(model, train_x, train_y, *splits,
                     batch_size: int = 128, jitter: float = 1e-6,
-                    refine: bool = True):
+                    refine: bool = True, variances: bool = False):
     """GP classification with the Gram never leaving the device.
 
     ``splits`` are (x, labels) pairs; returns a list of accuracies.
     With ``refine=False`` everything stays float32 on device; with
     ``refine`` the float32 solution gets float64 host refinement using
     one download of Kxx (still no re-upload).
+
+    With ``variances=True`` returns ``(accuracies, variances)`` where the
+    second element holds per-split GP posterior variances
+    ``k_zz - k_zx (Kxx + jitter*mean(diag)*I)^-1 k_xz`` computed on
+    device through the resident factor (float64 oracle:
+    ``ops.solve.predictive_variance``; large-N matrix-free path:
+    ``classify_device_large(variances=True)``).
     """
     from ..ops import solve
 
@@ -96,10 +103,26 @@ def classify_device(model, train_x, train_y, *splits,
     kxx = gram_device(model, train_x, batch_size=batch_size)
     kzx = [gram_device(model, x, train_x, batch_size=batch_size)
            for x, _ in splits]
+
+    def _variances(chol, s):
+        out = []
+        for (xz, _), kzx_dev in zip(splits, kzx):
+            xz = np.asarray(xz, np.float32)
+            kzz = np.concatenate(
+                [np.asarray(model(xz[i:i + batch_size], diag=True))
+                 for i in range(0, len(xz), batch_size)])
+            out.append(np.asarray(_variance_jit(
+                chol, kzx_dev, jnp.asarray(kzz), s)))
+        return out
+
     if not refine:
         preds = _solve_predict_jit(kxx, y, kzx, jitter)
-        return [float(np.mean(np.asarray(p) == np.asarray(lbl)))
+        accs = [float(np.mean(np.asarray(p) == np.asarray(lbl)))
                 for p, (_, lbl) in zip(preds, splits)]
+        if not variances:
+            return accs
+        s = float(np.asarray(jnp.mean(jnp.diagonal(kxx))))
+        return accs, _variances(_normalize_and_factor(kxx, s, jitter), s)
     # float64 quality: factor the *resident* Kxx on device (no re-upload),
     # download it once for the float64 residual refinement on host
     s = float(np.asarray(jnp.mean(jnp.diagonal(kxx))))
@@ -108,9 +131,20 @@ def classify_device(model, train_x, train_y, *splits,
     solve.diag_add(kxx_h, jitter)
     a = solve.refine_with_factor(chol, kxx_h,
                                  solve.one_hot_targets(train_y, n_classes))
-    return [solve.accuracy(
+    accs = [solve.accuracy(
         solve.predict(np.asarray(k, np.float64) / s, a), lbl)
         for k, (_, lbl) in zip(kzx, splits)]
+    return (accs, _variances(chol, s)) if variances else accs
+
+
+@jax.jit
+def _variance_jit(chol, kzx, kzz_diag, s):
+    """Posterior variances through the normalised factor:
+    ``K + jitter*s*I = s * (L_n L_n^T)``, so the quadratic form is
+    ``(1/s) * || L_n^-1 k_xz ||^2``."""
+    with jax.default_matmul_precision("highest"):
+        v = jax.scipy.linalg.solve_triangular(chol, kzx.T, lower=True)
+        return jnp.maximum(kzz_diag - jnp.sum(v * v, axis=0) / s, 0.0)
 
 
 @jax.jit

@@ -12,6 +12,7 @@ import time
 
 import absl.app
 import absl.flags
+import numpy as np
 
 import configs
 from cnn_gp_tpu.data import DatasetFromConfig
@@ -27,6 +28,7 @@ def main(_):
     t0 = time.perf_counter()
     splits = [(dataset.validation.images, dataset.validation.labels),
               (dataset.test.images, dataset.test.labels)]
+    variances = None
     if FLAGS.large:
         # matrix-free large-N path: blocked in-place sharded Cholesky,
         # nothing N^2 ever leaves the device (device_large.py)
@@ -34,16 +36,24 @@ def main(_):
             config.initial_model,
             dataset.train.images, dataset.train.labels, *splits,
             batch_size=FLAGS.batch_size, block=FLAGS.block,
-            jitter=FLAGS.jitter, refine_iters=FLAGS.refine_iters)
+            jitter=FLAGS.jitter, refine_iters=FLAGS.refine_iters,
+            variances=FLAGS.variances)
+        variances = info["variances"]
         print(f"rel residual {info['rel_residual']:.2e} after "
               f"{info['refinements']} refinements; "
               f"timings {info['timings_s']}")
     else:
-        accs = classify_device(
+        out = classify_device(
             config.initial_model,
             dataset.train.images, dataset.train.labels, *splits,
             batch_size=FLAGS.batch_size, jitter=FLAGS.jitter,
-            refine=FLAGS.refine)
+            refine=FLAGS.refine, variances=FLAGS.variances)
+        accs, variances = out if FLAGS.variances else (out, None)
+    if variances is not None:
+        for name, v in zip(("validation", "test"), variances):
+            std = np.sqrt(v)
+            print(f"{name} predictive std: mean {std.mean():.4e}  "
+                  f"min {std.min():.4e}  max {std.max():.4e}")
     elapsed = time.perf_counter() - t0
     print(f"validation accuracy: {accs[0] * 100}%")
     print(f"test accuracy: {accs[1] * 100}%")
@@ -57,6 +67,10 @@ if __name__ == "__main__":
     f.DEFINE_string("config", "mnist", "which config to load from `configs`")
     f.DEFINE_integer("batch_size", 128, "Gram tile size")
     f.DEFINE_float("jitter", 1e-6, "added to the scale-normalised diagonal")
+    f.DEFINE_boolean("variances", False,
+                     "also compute GP posterior variances per split and "
+                     "print predictive-std summaries (the reference has "
+                     "no uncertainty output)")
     f.DEFINE_boolean("refine", True,
                      "float64 host refinement of the float32 device solve")
     f.DEFINE_boolean("large", False,

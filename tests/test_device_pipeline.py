@@ -51,3 +51,28 @@ def test_classify_device_end_to_end(refine):
     accs = classify_device(model, tr_x, tr_y, (te_x, te_y),
                            batch_size=32, jitter=1e-6, refine=refine)
     assert accs[0] > 0.9, accs
+
+
+@pytest.mark.parametrize("refine", [False, True])
+def test_classify_device_variances(refine):
+    """Device variances == the float64 cho_factor oracle
+    (ops.solve.predictive_variance) with the scale-normalised jitter
+    convention (jitter_raw = jitter * mean(diag))."""
+    from cnn_gp_tpu.ops.solve import predictive_variance
+    model = G.Sequential(G.Conv2d(3), G.ReLU(), G.Conv2d(7, padding=0))
+    tr_x, tr_y, te_x, te_y = synthetic_arrays(
+        n_train=60, n_test=20, shape=(1, 7, 7), seed=8)
+    jitter = 1e-4
+    accs, var = classify_device(model, tr_x, tr_y, (te_x, te_y),
+                                batch_size=16, jitter=jitter,
+                                refine=refine, variances=True)
+    kxx = np.asarray(gram_in_memory(model, tr_x, batch_size=16,
+                                    progress=False), np.float64)
+    kzx = np.asarray(gram_in_memory(model, te_x, tr_x, batch_size=16,
+                                    progress=False), np.float64)
+    kzz = np.asarray(model(te_x, diag=True), np.float64)
+    jr = jitter * float(np.mean(np.diagonal(kxx)))
+    want = predictive_variance(kxx, kzx, kzz, jitter=jr)
+    assert var[0].shape == (20,) and (var[0] >= 0).all()
+    scale = float(kzz.mean())
+    np.testing.assert_allclose(var[0], want, atol=5e-6 * scale, rtol=2e-4)
