@@ -43,7 +43,7 @@ def main(_):
     accs, info = classify_device_large(
         model, tr_x, tr_y, *splits,
         batch_size=FLAGS.batch_size, block=FLAGS.block,
-        refine_iters=FLAGS.refine_iters)
+        refine_iters=FLAGS.refine_iters, variances=FLAGS.variances)
     wall = time.perf_counter() - t0
     print(f"accs {accs} wall {wall:.1f}s rel {info['rel_residual']:.2e} "
           f"refinements {info['refinements']} timings {info['timings_s']}",
@@ -59,7 +59,7 @@ def main(_):
                                         batch_size=FLAGS.batch_size,
                                         progress=False), np.float64)
         t1 = time.perf_counter()
-        a_ref = solve.solve_gp(kxx, solve.one_hot_targets(tr_y),
+        a_ref = solve.solve_gp(kxx.copy(), solve.one_hot_targets(tr_y),
                                method="scipy")
         t2 = time.perf_counter()
         agree = float(np.mean(solve.predict(kzx, a_ref)
@@ -67,6 +67,16 @@ def main(_):
         print(f"scipy pipeline: gram+fetch {t1 - t0:.1f}s "
               f"solve {t2 - t1:.1f}s; prediction agreement: {agree}",
               flush=True)
+        if FLAGS.variances:
+            kzz = np.asarray(model(np.asarray(te_x, np.float32),
+                                   diag=True), np.float64)
+            t3 = time.perf_counter()
+            want = solve.predictive_variance(kxx, kzx, kzz)
+            got = np.asarray(info["variances"][-1], np.float64)
+            scale = float(kzz.mean())
+            print(f"variance oracle ({time.perf_counter() - t3:.1f}s): "
+                  f"max |dev-f64|/scale = "
+                  f"{np.abs(got - want).max() / scale:.2e}", flush=True)
 
 
 if __name__ == "__main__":
@@ -83,6 +93,10 @@ if __name__ == "__main__":
                      "refinement sweeps cap; 0 = solve once and report "
                      "the residual of the unrefined iterate (each sweep "
                      "costs ~ one assembly pass)")
+    f.DEFINE_boolean("variances", False,
+                     "also compute matrix-free GP posterior variances "
+                     "(compared against the float64 oracle under "
+                     "--check_scipy)")
     f.DEFINE_boolean("check_scipy", False,
                      "cross-check predictions against the float64 scipy "
                      "pipeline (explicit Grams; feasible to ~16k)")
