@@ -183,10 +183,13 @@ def predictive_variance(kxx: np.ndarray, kzx: np.ndarray,
     ``parallel.device_large.classify_device_large(variances=True)``.
     """
     import scipy.linalg
-    kxx = np.array(kxx, np.float64)
+    kxx = np.array(kxx, np.float64)       # our private copy ...
     if jitter:
         diag_add(kxx, jitter)
-    c, low = scipy.linalg.cho_factor(kxx, lower=True, check_finite=False)
+    # ... factored in place: cho_factor would otherwise take a THIRD
+    # whole-matrix copy (6.4 GB peak at 16k on the single-core host)
+    c, low = scipy.linalg.cho_factor(kxx, lower=True, check_finite=False,
+                                     overwrite_a=True)
     # v = L^-1 k_xz ; var = k_zz - sum(v^2)
     v = scipy.linalg.solve_triangular(c, np.asarray(kzx, np.float64).T,
                                       lower=low, check_finite=False)

@@ -47,6 +47,15 @@ __all__ = ["chol_solve_dist", "chol_solve_ir32", "chol_solve_dist_from_store",
            "cholesky_sharded", "cholesky_solve_sharded"]
 
 
+def _chunk_starts(total: int, size: int):
+    """Fixed-size chunk starts covering [0, total) with a slid-back tail:
+    the last chunk starts at ``total - size`` (overlapping rewrites must
+    be idempotent at the call site), so ONE compiled program shape serves
+    every chunk.  Requires ``size <= total``."""
+    assert 0 < size <= total, (size, total)
+    return list(range(0, total - size, size)) + [total - size]
+
+
 def _pad_size(n: int, block: int, n_dev: int, pad_to: int = 1) -> int:
     """Smallest N_pad >= n divisible by ``block``, ``n_dev`` and ``pad_to``
     (the latter lets device_large.py align the factor buffer with its
@@ -207,8 +216,7 @@ class _ShardedFactor:
 
         k = init(n_pad)
         c = min(io_rows, n_pad)
-        starts = list(range(0, n_pad - c, c)) + [n_pad - c]
-        for r0 in starts:
+        for r0 in _chunk_starts(n_pad, c):
             k = write(k, jnp.asarray(make_rows(r0, r0 + c)), np.int32(r0))
         return k
 

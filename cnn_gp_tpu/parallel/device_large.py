@@ -50,7 +50,7 @@ from jax import lax
 
 from .. import settings
 from ..ops import solve as solve_ops
-from .chol_dist import _ShardedFactor
+from .chol_dist import _ShardedFactor, _chunk_starts
 from .gram import _pad_to_multiple, _tile_body
 from .mesh import make_mesh, row_sharded
 
@@ -188,6 +188,8 @@ def _chunk_weighted(offsets, tiles_per_call: int):
     limits, multi-minute single dispatches that outlive tunnel timeouts
     -- see BASELINE.md); a 50k matvec is a 76,636-tile sweep."""
     offsets = np.asarray(offsets)
+    if len(offsets) == 0:          # empty split/manifest: nothing to sweep
+        return []
     c = min(tiles_per_call, len(offsets))
     w = np.ones((len(offsets), 1), np.int32)
     offs = np.concatenate([offsets, w], axis=1)
@@ -295,12 +297,15 @@ def _predictive_variances(factor, model, x_all, z_all, s_pad_dev, kzz,
     scale)."""
     m_pad = z_all.shape[0]
     n_pad = factor.n_pad
-    cb = min(cb, m_pad)
+    # column-block width: a multiple of the tile size b (tile writes must
+    # stay inside the [n_pad, cb] buffer) and at least b (a z-block
+    # narrower than one tile would make _tile_body's slice malformed);
+    # m_pad is itself a multiple of b
+    cb = min(max(b, (cb // b) * b), m_pad)
     out = np.empty(m_pad, np.float32)
-    starts = list(range(0, m_pad - cb, cb)) + [m_pad - cb]
     offsets = _rect_offsets(n, cb, b)
     with jax.default_matmul_precision("highest"):
-        for c0 in starts:           # slide-back tail: idempotent rewrite
+        for c0 in _chunk_starts(m_pad, cb):  # slide-back: idempotent
             w = jnp.zeros((n_pad, cb), jnp.float32)
             w = _xz_scaled_chunk_jit(w, model, x_all,
                                      lax.slice_in_dim(z_all, c0, c0 + cb),

@@ -116,13 +116,18 @@ def classify_device(model, train_x, train_y, *splits,
         return out
 
     if not refine:
-        preds = _solve_predict_jit(kxx, y, kzx, jitter)
+        if not variances:
+            preds = _solve_predict_jit(kxx, y, kzx, jitter)
+            return [float(np.mean(np.asarray(p) == np.asarray(lbl)))
+                    for p, (_, lbl) in zip(preds, splits)]
+        # one factorisation serves predictions AND variances (the fused
+        # _solve_predict_jit would factor a second time)
+        s = float(np.asarray(jnp.mean(jnp.diagonal(kxx))))
+        chol = _normalize_and_factor(kxx, s, jitter)
+        preds = _predict_from_factor_jit(chol, y, kzx, s)
         accs = [float(np.mean(np.asarray(p) == np.asarray(lbl)))
                 for p, (_, lbl) in zip(preds, splits)]
-        if not variances:
-            return accs
-        s = float(np.asarray(jnp.mean(jnp.diagonal(kxx))))
-        return accs, _variances(_normalize_and_factor(kxx, s, jitter), s)
+        return accs, _variances(chol, s)
     # float64 quality: factor the *resident* Kxx on device (no re-upload),
     # download it once for the float64 residual refinement on host
     s = float(np.asarray(jnp.mean(jnp.diagonal(kxx))))
@@ -135,6 +140,12 @@ def classify_device(model, train_x, train_y, *splits,
         solve.predict(np.asarray(k, np.float64) / s, a), lbl)
         for k, (_, lbl) in zip(kzx, splits)]
     return (accs, _variances(chol, s)) if variances else accs
+
+
+@jax.jit
+def _predict_from_factor_jit(chol, y_onehot, kzx_stack, s):
+    a = jax.scipy.linalg.cho_solve((chol, True), y_onehot)
+    return [jnp.argmax(kzx / s @ a, axis=1) for kzx in kzx_stack]
 
 
 @jax.jit

@@ -9,7 +9,11 @@ attributes
     train_range / validation_range / test_range
                      -- index ranges into the concatenated train+test pool
     in_channels, out_channels
-    transforms       -- list of callables applied to [N, C, W, H] arrays
+    transforms       -- list of callables applied PER IMAGE to [C, W, H]
+                        arrays (the reference's torchvision contract,
+                        cnn_gp/data.py:143-145); a callable that
+                        vectorises over the whole [N, C, W, H] pool can
+                        opt in with ``t.vectorized = True``
     initial_model    -- an NNGPKernel
 
 The torchvision dataset *class* attribute is replaced by ``dataset_name``

@@ -225,6 +225,60 @@ def test_predictive_variances_match_oracle(mesh, small_model):
                                atol=1e-8 * scale)
 
 
+def test_variances_narrow_and_unaligned_cb(mesh, small_model):
+    """The cross-covariance column-block width must be clamped to a
+    multiple of the tile size and at least one tile wide — cb < b
+    previously produced a malformed z-block slice (review regression)."""
+    from cnn_gp_tpu import settings
+    from cnn_gp_tpu.ops.solve import predictive_variance
+    from cnn_gp_tpu.parallel.device_large import (_diag_scan_jit,
+                                                  _predictive_variances)
+    from cnn_gp_tpu.parallel.gram import _pad_to_multiple
+    from cnn_gp_tpu.parallel.chol_dist import _ShardedFactor
+    import jax.numpy as jnp
+    b = 8
+    tr_x, _, te_x, _ = synthetic_arrays(n_train=40, n_test=24,
+                                        shape=(1, 7, 7), seed=2)
+    n = len(tr_x)
+    kxx = np.asarray(gram_in_memory(small_model, tr_x, batch_size=b,
+                                    progress=False), np.float64)
+    kzx = np.asarray(gram_in_memory(small_model, te_x, tr_x, batch_size=b,
+                                    progress=False), np.float64)
+    kzz = np.asarray(small_model(te_x, diag=True), np.float64)
+    want = predictive_variance(kxx, kzx, kzz)
+    s64 = 1.0 / np.sqrt(np.diagonal(kxx))
+    factor = _ShardedFactor(mesh, n, 8, pad_to=b)
+    x_all = jnp.asarray(_pad_to_multiple(np.asarray(tr_x, np.float32), b))
+    s_pad = np.ones(factor.n_pad, np.float32)
+    s_pad[:n] = s64
+    from cnn_gp_tpu.parallel.device_large import (_assemble_scaled,
+                                                  _lower_offsets)
+    k = _assemble_scaled(small_model, x_all, jnp.asarray(s_pad),
+                         _lower_offsets(n, b), b, n, factor.n_pad, mesh)
+    factor._factorize_dev(k)
+    z_all = jnp.asarray(_pad_to_multiple(np.asarray(te_x, np.float32), b))
+    snap = settings.snapshot()
+    kzz_pad = np.zeros(z_all.shape[0])
+    kzz_pad[:len(te_x)] = kzz
+    s_dev = jnp.asarray(s_pad[:x_all.shape[0]])
+    scale = float(kzz.mean())
+    for cb in (4, 12, 8, 16, 1000):   # < b, unaligned, == b, 2b, > m_pad
+        got = _predictive_variances(factor, small_model, x_all, z_all,
+                                    s_dev, kzz_pad, b, n, snap,
+                                    cb=cb)[:len(te_x)]
+        np.testing.assert_allclose(got, want, atol=5e-6 * scale,
+                                   rtol=2e-4)
+
+
+def test_scores_regen_empty_split(small_model):
+    """A zero-example split must sweep nothing and return an empty result
+    (the chunked sweeps previously raised on an empty manifest)."""
+    x, _, _, _ = synthetic_arrays(n_train=24, n_test=0, shape=(1, 7, 7))
+    a = np.ones((24, 3), np.float32)
+    out = scores_regen(small_model, x[:0], x, a, batch_size=8)
+    assert out.shape == (0, 3)
+
+
 def test_classify_large_single_device():
     """The real deployment shape: one chip, one-device mesh."""
     mesh1 = make_mesh(n_devices=1)
