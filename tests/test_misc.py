@@ -73,3 +73,35 @@ def test_diag_iterator_cross_pair():
     # truncated to the shorter input, like zip in the reference
     assert sum(len(b[1][1][0]) for b in items) == 10
     assert all(not s for s, _, _ in items)
+
+
+def test_default_cache_dir_gating(monkeypatch):
+    """The per-platform default compilation cache must: respect an env
+    override, never touch an explicit non-default config value, key on
+    the LIVE jax_platforms config, and stay OFF for pure-CPU runs (remote
+    host-AOT artifacts are a SIGILL risk — cnn_gp_tpu/__init__.py)."""
+    import jax
+    import cnn_gp_tpu
+    from cnn_gp_tpu import _apply_default_cache_dir, _CACHE_ROOT
+
+    original = jax.config.jax_compilation_cache_dir
+    try:
+        # env override wins: nothing is touched
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/tmp/explicit")
+        jax.config.update("jax_compilation_cache_dir", "/tmp/explicit")
+        _apply_default_cache_dir()
+        assert jax.config.jax_compilation_cache_dir == "/tmp/explicit"
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR")
+
+        # explicit non-default config value is preserved
+        _apply_default_cache_dir()
+        assert jax.config.jax_compilation_cache_dir == "/tmp/explicit"
+
+        # cpu platform (the live config in this test env): default stays
+        # off, and a stale our-default value is cleared
+        assert jax.config.jax_platforms == "cpu"  # conftest forces it
+        jax.config.update("jax_compilation_cache_dir", _CACHE_ROOT + "tpu")
+        _apply_default_cache_dir()
+        assert not jax.config.jax_compilation_cache_dir
+    finally:
+        jax.config.update("jax_compilation_cache_dir", original)
