@@ -42,7 +42,7 @@ REFERENCE_ENTRIES_PER_SEC = 1413.0
 
 BATCH = 128  # autotuned: pair dim 128*128 aligns with the lane width (BASELINE.md)
 N_WARM = 2
-N1, N2 = 6, 18
+N1, N2 = 8, 40
 VPU_PEAK = 4.0e12  # nominal v5e f32 VPU ops/s (8x128 lanes x 4 ALUs x ~1GHz)
 
 WORKLOADS = {
@@ -111,7 +111,19 @@ def _measure(config_name, shape):
         t2 = run(N2)
         return (t2 - t1) / (N2 - N1)
 
-    per_tile = min(marginal() for _ in range(2))
+    # a tunnel stall inside the SHORT window can make one marginal sample
+    # negative or absurd (observed); keep only positive samples and
+    # re-measure until we have two
+    samples = []
+    for _ in range(6):
+        m = marginal()
+        if m > 0:
+            samples.append(m)
+        if len(samples) >= 2:
+            break
+    if not samples:
+        raise TimeoutError("no positive marginal sample")
+    per_tile = min(samples)
 
     # XLA's own FLOP estimate for the compiled tile program
     flops = None
