@@ -52,7 +52,17 @@ def _apply_default_cache_dir():
         if current and not current.startswith(_CACHE_ROOT):
             return                      # explicit user config: keep it
         plat = (getattr(jax.config, "jax_platforms", None)
-                or _os.environ.get("JAX_PLATFORMS") or "auto")
+                or _os.environ.get("JAX_PLATFORMS"))
+        if plat is None:
+            # Platform unresolved: keying a cache dir "auto" could mix
+            # artifacts across whatever backend jax later picks (including
+            # CPU, whose host-AOT gating below would be bypassed).
+            # Resolving via jax.default_backend() here would force backend
+            # initialisation at import time, so just run cache-less; an
+            # explicit JAX_PLATFORMS / use_platform() opts back in.
+            if current:
+                jax.config.update("jax_compilation_cache_dir", "")
+            return
         if plat == "cpu":
             # no default cache for pure-CPU runs: on remote-compile
             # runtimes even XLA:CPU programs can come back as AOT
@@ -88,6 +98,18 @@ def use_platform(platform: str) -> None:
     except Exception:  # pragma: no cover - not initialized yet
         pass
     jax.config.update("jax_platforms", platform)
+    # JAX's persistent cache initialises at most once per process
+    # (guarded by _cache_initialized, and jax_compilation_cache_dir has
+    # no update hook): if anything compiled before this flip, the OLD
+    # platform's cache dir — or the disabled-'' state — would silently
+    # stay live.  reset_cache() drops that state so the re-keyed dir (or
+    # the cpu "off" state) actually takes effect.
+    try:
+        from jax.experimental.compilation_cache import (
+            compilation_cache as _cc)
+        _cc.reset_cache()
+    except Exception:  # pragma: no cover - best effort
+        pass
     _apply_default_cache_dir()
 
 

@@ -480,6 +480,10 @@ def classify_device_large(model, train_x, train_y, *splits,
     if variances:
         var_list = []
         for xz, _ in splits:
+            if len(xz) == 0:    # mirror the empty-split scores handling:
+                # tracing a b-sized slice of a 0-row z_all is a TypeError
+                var_list.append(np.zeros(0, np.float64))
+                continue
             z_all = jnp.asarray(
                 _pad_to_multiple(np.asarray(xz, np.float32), b))
             mz = z_all.shape[0]

@@ -279,6 +279,22 @@ def test_scores_regen_empty_split(small_model):
     assert out.shape == (0, 3)
 
 
+def test_classify_large_empty_split_variances(mesh, small_model):
+    """variances=True with a zero-length split must return an empty
+    variance array instead of tracing a b-sized slice of a 0-row z_all
+    (advisor regression, round 3)."""
+    tr_x, tr_y, te_x, te_y = synthetic_arrays(
+        n_train=24, n_test=8, shape=(1, 7, 7), seed=4)
+    accs, info = classify_device_large(
+        small_model, tr_x, tr_y, (te_x[:0], te_y[:0]), (te_x, te_y),
+        batch_size=8, block=8, jitter=1e-6, mesh=mesh,
+        variances=True, verbose=False)
+    assert info["variances"][0].shape == (0,)
+    assert info["variances"][1].shape == (8,)
+    assert np.isfinite(info["variances"][1]).all()
+    assert len(info["predictions"][0]) == 0
+
+
 def test_classify_large_single_device():
     """The real deployment shape: one chip, one-device mesh."""
     mesh1 = make_mesh(n_devices=1)

@@ -103,5 +103,19 @@ def test_default_cache_dir_gating(monkeypatch):
         jax.config.update("jax_compilation_cache_dir", _CACHE_ROOT + "tpu")
         _apply_default_cache_dir()
         assert not jax.config.jax_compilation_cache_dir
+
+        # platform UNRESOLVED (no config, no env): no default cache at
+        # all — a 'jax-auto' key could hand CPU runs foreign host-AOT
+        # artifacts (advisor finding, round 3); stale default is cleared
+        platforms = jax.config.jax_platforms
+        monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+        jax.config.update("jax_platforms", None)
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              _CACHE_ROOT + "auto")
+            _apply_default_cache_dir()
+            assert not jax.config.jax_compilation_cache_dir
+        finally:
+            jax.config.update("jax_platforms", platforms)
     finally:
         jax.config.update("jax_compilation_cache_dir", original)
