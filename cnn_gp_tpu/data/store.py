@@ -185,10 +185,18 @@ class GramStore:
                 f"to fill them (tile-level resume will skip finished ones)")
 
 
-def merge_stores(dest_path: str, src_paths: Iterable[str]):
+def merge_stores(dest_path: str, src_paths: Iterable[str],
+                 row_block: int = 4096):
     """NaN-fill merge of worker shard files into ``dest_path`` (replaces
-    exp_mnist_resnet/merge_h5_files.py:15-30).  Rows of ``dest`` that are
-    NaN take the corresponding ``src`` values."""
+    exp_mnist_resnet/merge_h5_files.py:15-30).  Entries of ``dest`` that
+    are NaN take the corresponding ``src`` values.
+
+    Streams ``row_block`` rows at a time: the reference merges whole
+    [N, N2] slabs (exp_mnist_resnet/merge_h5_files.py:24-30 reads
+    ``dest_h5[...]`` per dataset), a ~28 GB transient at N=50k that this
+    single-core host cannot absorb; here peak memory is
+    3 * row_block * N2 * 4 bytes (~4.9 GB at 50k with the default block —
+    scale row_block down for tighter hosts)."""
     _require_h5py()
     with h5py.File(dest_path, "a") as dest:
         for path in src_paths:
@@ -198,11 +206,14 @@ def merge_stores(dest_path: str, src_paths: Iterable[str]):
                         continue
                     dd, sd = dest[k], src[k]
                     for i in range(dd.shape[0]):
-                        d = dd[i, ...]
-                        s = sd[i, ...]
-                        hole = np.isnan(d)
-                        d[hole] = s[hole]
-                        dd[i, ...] = d
+                        for r0 in range(0, dd.shape[1], row_block):
+                            sel = np.s_[i, r0:r0 + row_block, ...]
+                            d = dd[sel]
+                            hole = np.isnan(d)
+                            if not hole.any():
+                                continue
+                            d[hole] = sd[sel][hole]
+                            dd[sel] = d
                     # merge completion bitmaps when both sides have them
                     dk = f"_done/{k}"
                     if dk in dest and dk in src:

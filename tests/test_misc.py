@@ -65,6 +65,37 @@ def test_merge_reference_format_files(tmp_path):
     np.testing.assert_array_equal(merged[3], np.full(4, 3.0))
 
 
+def test_merge_blockwise_equals_slab(tmp_path):
+    """The streamed row-block merge must be exactly the slab merge for
+    every block size (incl. unaligned ones), on matrix AND diag datasets
+    — the reference's slab merge peaks at ~28 GB host RAM at 50k
+    (merge_h5_files.py:24-30); ours must not inherit that."""
+    import h5py
+    rng = np.random.RandomState(0)
+    n = 50
+    full = rng.rand(n, n).astype(np.float32)
+    diag_full = rng.rand(n).astype(np.float32)
+
+    def write(path, mask, dmask):
+        with h5py.File(path, "w") as f:
+            a = np.where(mask, full, np.nan).astype(np.float32)
+            f.create_dataset("Kxx", data=a[None], chunks=(1, 8, 8))
+            d = np.where(dmask, diag_full, np.nan).astype(np.float32)
+            f.create_dataset("Kv_diag", data=d[None], chunks=(1, 8))
+
+    m1 = rng.rand(n, n) < 0.5
+    d1 = rng.rand(n) < 0.5
+    for row_block in (1, 7, 8, 64, 10**6):
+        dest = str(tmp_path / f"dest_{row_block}.h5")
+        src = str(tmp_path / f"src_{row_block}.h5")
+        write(dest, m1, d1)
+        write(src, ~m1, ~d1)
+        merge_stores(dest, [src], row_block=row_block)
+        with GramStore(dest, "r") as store:
+            np.testing.assert_array_equal(store.read("Kxx"), full)
+            np.testing.assert_array_equal(store.read("Kv_diag"), diag_full)
+
+
 def test_diag_iterator_cross_pair():
     from cnn_gp_tpu.data import DiagIterator
     x = np.zeros((10, 1, 2, 2), np.float32)
