@@ -29,7 +29,7 @@ from .. import settings
 from ..kernels import apply_kernel
 from ..utils.timing import print_timings
 from . import gram, scheduler
-from .mesh import make_mesh
+from .mesh import make_mesh, replicated
 
 __all__ = ["compute_gram_sharded"]
 
@@ -98,9 +98,17 @@ def compute_gram_sharded(model, X, Z=None, *, batch_size: int = 200,
     if out is None and store is None:
         out = np.full((n1, n2), np.nan, np.float32)
 
-    x_np = gram._pad_to_multiple(np.asarray(X, np.float32), b)
-    z_np = x_np if symmetric else gram._pad_to_multiple(
-        np.asarray(Z, np.float32), b)
+    # ONE replicated upload, reused by every round: a per-round
+    # jnp.asarray(x_np) inside the loop re-transferred the whole (padded)
+    # dataset per ~n_dev*8 tiles — on the tunneled TPU (40 MB/s) that is
+    # ~4.5 s of re-upload per ~0.2 s round of tile compute for MNIST-60k
+    # (round-2 VERDICT Weak #1).  device_put with the mesh's replicated
+    # sharding commits the arrays once; jit then reuses them as-is.
+    repl = replicated(mesh)
+    x_dev = jax.device_put(
+        gram._pad_to_multiple(np.asarray(X, np.float32), b), repl)
+    z_dev = x_dev if symmetric else jax.device_put(
+        gram._pad_to_multiple(np.asarray(Z, np.float32), b), repl)
 
     sweep = jax.jit(jax.shard_map(
         _sweep_fn(model, b, symmetric, settings.snapshot(), axis),
@@ -134,8 +142,7 @@ def compute_gram_sharded(model, X, Z=None, *, batch_size: int = 200,
             chunk = np.concatenate([chunk, np.repeat(chunk[:1], pad, 0)])
         # deal round-robin: device d gets chunk[d::n_dev]
         per_dev = chunk.reshape(-1, n_dev, 2).transpose(1, 0, 2)
-        blocks = sweep(jnp.asarray(x_np), jnp.asarray(z_np),
-                       jnp.asarray(per_dev.reshape(-1, 2)))
+        blocks = sweep(x_dev, z_dev, jnp.asarray(per_dev.reshape(-1, 2)))
         blocks = np.asarray(blocks)  # [n_dev * t_local, b, b]
         # undo the deal: global order is interleaved back
         t_local = per_dev.shape[1]
