@@ -364,7 +364,7 @@ def scores_regen(model, Z, X, a: np.ndarray, *,
 
 def classify_device_large(model, train_x, train_y, *splits,
                           batch_size: int = 128, block: int = 2048,
-                          jitter: float = 0.0, refine_iters: int = 3,
+                          jitter: float = 0.0, refine_iters: int = 1,
                           tol: Optional[float] = None, mesh=None,
                           variances: bool = False,
                           verbose: bool = True):
@@ -376,6 +376,14 @@ def classify_device_large(model, train_x, train_y, *splits,
     decomposed; residuals are measured through the same float32
     regeneration matvec (floor ~sqrt(N) * eps32; validated against the
     float64 scipy solve up to 16k in scripts/solver_validation.py).
+
+    ``refine_iters`` defaults to 1 (each sweep costs ~ one Gram-assembly
+    pass; the measured evidence — BASELINE.md "Fully device-resident
+    classification" — is that refinement has never changed a prediction
+    and the unrefined residual already sits at the f32 measurement floor,
+    so the 3-sweep default burned ~40% of the 50k wall for nothing).  The
+    achieved residual is always reported in ``info["rel_residual"]``;
+    raise the cap if it matters for a non-classification use.
 
     ``jitter`` is relative to the mean Gram diagonal (the same
     scale-normalised convention as ``classify_device`` and the

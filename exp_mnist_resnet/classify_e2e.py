@@ -81,6 +81,6 @@ if __name__ == "__main__":
                      "are ~3*N_pad*block floats on top of the N_pad^2 "
                      "buffer (60k on a 16 GB v5e ran with block=1024, "
                      "BASELINE.md)")
-    f.DEFINE_integer("refine_iters", 3,
+    f.DEFINE_integer("refine_iters", 1,
                      "refinement matvec passes cap (--large)")
     absl.app.run(main)

@@ -89,7 +89,7 @@ if __name__ == "__main__":
     f.DEFINE_integer("batch_size", 128, "Gram tile size")
     f.DEFINE_integer("block", 2048, "Cholesky block size")
     f.DEFINE_integer("seed", 0, "synthetic data seed")
-    f.DEFINE_integer("refine_iters", 3,
+    f.DEFINE_integer("refine_iters", 1,
                      "refinement sweeps cap; 0 = solve once and report "
                      "the residual of the unrefined iterate (each sweep "
                      "costs ~ one assembly pass)")
