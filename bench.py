@@ -12,7 +12,13 @@ Timing protocol: the tunneled TPU platform acknowledges dispatches
 asynchronously and `block_until_ready` may return before remote execution
 finishes, so we time the *marginal* cost -- (time of N2 dispatches + one
 fetch) - (time of N1 dispatches + one fetch) over (N2 - N1) tiles -- which
-cancels both compile and round-trip latency.
+cancels both compile and round-trip latency.  The headline is the MEDIAN
+of >=3 positive marginal samples: a tunnel stall inside the short (N1)
+window shrinks the difference and fakes above-steady-state throughput
+(observed: an 8.4M entries/s sample on code that reproducibly measures
+~5.5M), so the min-of-samples rule used through round 2 was biased fast
+-- it explains the 6.06M round-1 "best" -- while a stall in the long
+window fakes a slowdown; the median rejects both tails.
 
 Alongside entries/s the script reports XLA's own FLOP estimate for the
 compiled tile program (`compiled.cost_analysis()['flops']`) divided by the
@@ -44,6 +50,7 @@ BATCH = 128  # autotuned: pair dim 128*128 aligns with the lane width (BASELINE.
 N_WARM = 2
 N1, N2 = 8, 40
 VPU_PEAK = 4.0e12  # nominal v5e f32 VPU ops/s (8x128 lanes x 4 ALUs x ~1GHz)
+REGRESSION_FLOOR = 5.0e6  # headline entries/s below this => regression flag
 
 WORKLOADS = {
     "resnet32": ("mnist_as_tf", (1, 28, 28)),
@@ -102,28 +109,26 @@ def _measure(config_name, shape):
 
     for _ in range(N_WARM):
         run(1)
-    # best-of-2 marginal measurements: the tunneled runtime's dispatch
-    # timing is noisy run-to-run (observed 4.2-6.1M entries/s on the same
-    # code); taking the fastest pass cancels one-off stalls without
-    # biasing the steady-state number
+
     def marginal():
         t1 = run(N1)
         t2 = run(N2)
         return (t2 - t1) / (N2 - N1)
 
-    # a tunnel stall inside the SHORT window can make one marginal sample
-    # negative or absurd (observed); keep only positive samples and
-    # re-measure until we have two
+    # median of >=3 positive samples (see module docstring: a stall in
+    # the short window fakes speed, a stall in the long window fakes
+    # slowness; min() was biased fast).  Negative samples (severe stall)
+    # are discarded outright.
     samples = []
-    for _ in range(6):
+    for _ in range(8):
         m = marginal()
         if m > 0:
             samples.append(m)
-        if len(samples) >= 2:
+        if len(samples) >= 3:
             break
     if not samples:
         raise TimeoutError("no positive marginal sample")
-    per_tile = min(samples)
+    per_tile = float(np.median(samples))
 
     # XLA's own FLOP estimate for the compiled tile program
     flops = None
@@ -166,7 +171,7 @@ def main():
             fps = flops / per_tile
             flops_per_sec[name] = round(fps / 1e12, 3)       # T ops/s
             vpu_util[name] = round(fps / VPU_PEAK, 3)
-    print(json.dumps({
+    out = {
         "metric": "gram_entries_per_sec_per_chip_resnet32_gp",
         "value": round(value, 1),
         "unit": "entries/s/chip",
@@ -174,7 +179,17 @@ def main():
         "breakdown": {name: round(r[0], 1) for name, r in results.items()},
         "xla_tflops_per_sec": flops_per_sec,
         "vpu_util_vs_4e12_peak": vpu_util,
-    }))
+    }
+    # Perf regression gate (round-2 VERDICT #4): the median-protocol
+    # steady state on this code is ~5.2-5.8M entries/s; below the floor
+    # is a real regression or a badly degraded runtime, not noise.
+    if value < REGRESSION_FLOOR:
+        out["below_floor"] = REGRESSION_FLOOR
+        import sys
+        print(f"bench: HEADLINE {value:.0f} < floor {REGRESSION_FLOOR:.0f}"
+              f" entries/s — perf regression or degraded runtime",
+              file=sys.stderr, flush=True)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -10,6 +10,12 @@ never materialise a weight tensor at all.  Three interchangeable lowerings:
   ``2k`` adds per output instead of ``k**2``.  Exact for box filters because
   the window sum factorises and zero padding commutes with it.  Default.
 * ``direct``     -- one 2-D ``lax.reduce_window``.
+* ``shifts``     -- the separable sum written as ``k`` explicit strided
+  slices added together per axis: the same ``2k`` adds, but as ordinary
+  elementwise HLO that XLA can fuse INTO the surrounding arccos/scale
+  chain (``reduce_window`` compiles to its own loop nest and acts as a
+  fusion boundary).  Measured on the v5e: see BASELINE.md round-3 conv
+  lowering sweep.
 * ``matmul``     -- banded 0/1 matrices contracted on the MXU
   (``einsum('Ww,...wh,hH->...WH')`` at HIGHEST precision).  Useful when the
   batch of maps is huge and the VPU is the bottleneck.
@@ -84,6 +90,26 @@ def _reduce_window_1d(x: jax.Array, axis: int, k: int, stride: int,
                              window_dilation=wdil)
 
 
+def _shift_sum_1d(x: jax.Array, axis: int, k: int, stride: int,
+                  pad: PadT, dilation: int) -> jax.Array:
+    """Windowed sum along ``axis`` as ``k`` strided slices added together:
+    ``out[o] = sum_a xp[o*stride + a*dilation]`` over the zero-padded
+    input — plain elementwise adds instead of a ``reduce_window`` loop."""
+    n = x.shape[axis]
+    n_out = out_size(n, k, stride, pad, dilation)
+    if pad[0] or pad[1]:
+        cfg = [(0, 0, 0)] * x.ndim
+        cfg[axis] = (pad[0], pad[1], 0)
+        x = lax.pad(x, jnp.asarray(0.0, x.dtype), cfg)
+    total = None
+    for a in range(k):
+        start = a * dilation
+        sl = lax.slice_in_dim(x, start, start + (n_out - 1) * stride + 1,
+                              stride, axis)
+        total = sl if total is None else total + sl
+    return total
+
+
 def _band_matrix(length: int, k: int, stride: int, pad: PadT,
                  dilation: int, dtype) -> np.ndarray:
     """[out, length] 0/1 matrix: out[o] = sum_a x[o*stride - lo + a*dilation]."""
@@ -102,6 +128,10 @@ def box_filter_2d(x: jax.Array, kernel_size: int, stride: int = 1,
                   method: str = DEFAULT_METHOD) -> jax.Array:
     """Windowed sum over the trailing two dims of ``x`` ([..., W, H])."""
     pad = resolve_padding(padding, kernel_size, dilation)
+    if method == "shifts":
+        y = _shift_sum_1d(x, x.ndim - 2, kernel_size, stride, pad, dilation)
+        return _shift_sum_1d(y, x.ndim - 1, kernel_size, stride, pad,
+                             dilation)
     if method == "separable":
         y = _reduce_window_1d(x, x.ndim - 2, kernel_size, stride, pad,
                               dilation)

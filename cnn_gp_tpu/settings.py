@@ -9,7 +9,8 @@ from __future__ import annotations
 
 import contextlib
 
-# Box-filter lowering for Conv2d covariance: separable | direct | matmul.
+# Box-filter lowering for Conv2d covariance:
+# separable | direct | matmul | shifts.
 conv_method = "separable"
 # ReLU arccos transform lowering: auto | xla.  (The standalone Pallas
 # lowering was removed after losing to XLA fusion in both round-1 and

@@ -36,7 +36,8 @@ CASES = [
 
 
 @pytest.mark.parametrize("case", CASES)
-@pytest.mark.parametrize("method", ["separable", "direct", "matmul"])
+@pytest.mark.parametrize("method", ["separable", "direct", "matmul",
+                                    "shifts"])
 def test_box_filter_matches_oracle(case, method, rng):
     x = rng.randn(6, 10, 10).astype(np.float32)
     pad = boxfilter.resolve_padding(case["padding"], case["k"],
