@@ -32,7 +32,11 @@ def neg_marginal_log_likelihood(model, x: jax.Array, y: jax.Array,
     """Negative GP marginal log-likelihood of targets ``y`` [N, C] under
     the model's kernel on inputs ``x`` [N, C, W, H] (per-target-dim sum,
     constants dropped).  Differentiable in the model's array leaves."""
-    k = apply_kernel(model, x, x, True, False)
+    from . import settings
+    with settings.override(grad_safe=True):
+        # finite gradients through the ReLU transform's masked diagonal
+        # (see settings.grad_safe); primal values are unchanged
+        k = apply_kernel(model, x, x, True, False)
     # Scale-normalise for float32 conditioning (paper kernels reach ~1e12)
     # -- with the scale *detached*, so the objective keeps its gradient
     # with respect to the overall kernel scale.  Up to the n*log(s)

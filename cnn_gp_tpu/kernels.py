@@ -181,16 +181,30 @@ class Conv2d(NNGPKernel):
     Cross-correlates each covariance map with a constant
     ``var_weight / k^2`` kernel and adds ``var_bias`` (reference:
     cnn_gp/kernels.py:60-98).  Lowered as a scaled box filter.
+
+    ``learnable=True`` registers ``var_weight``/``var_bias`` as pytree
+    LEAVES (JAX scalars) instead of static aux data, making them
+    differentiable hyperparameters for type-II ML (``cnn_gp_tpu.fit``) —
+    the values the paper fixed by random search
+    (reference: cnn_gp/kernels.py:61-76).  Opt-in: static hyperparameters
+    keep one compiled program per architecture, while leaves make them
+    jit *arguments* (no retrace when only their values change, but a
+    different trace cache key shape).
     """
 
     def __init__(self, kernel_size, stride=1, padding="same", dilation=1,
                  var_weight=1.0, var_bias=0.0, in_channel_multiplier=1,
-                 out_channel_multiplier=1):
+                 out_channel_multiplier=1, learnable=False):
         self.kernel_size = int(kernel_size)
         self.stride = int(stride)
         self.dilation = int(dilation)
-        self.var_weight = float(var_weight)
-        self.var_bias = float(var_bias)
+        self.learnable = bool(learnable)
+        if self.learnable:
+            self.var_weight = jnp.asarray(var_weight, jnp.float32)
+            self.var_bias = jnp.asarray(var_bias, jnp.float32)
+        else:
+            self.var_weight = float(var_weight)
+            self.var_bias = float(var_bias)
         self.in_channel_multiplier = int(in_channel_multiplier)
         self.out_channel_multiplier = int(out_channel_multiplier)
         # The reference's even-kernel "same" trick (zero first row/col of a
@@ -226,9 +240,30 @@ class Conv2d(NNGPKernel):
         return 1
 
 
-_register(Conv2d, static=("kernel_size", "stride", "dilation", "var_weight",
-                          "var_bias", "in_channel_multiplier",
-                          "out_channel_multiplier", "even_trick", "padding"))
+_CONV_STATIC = ("kernel_size", "stride", "dilation",
+                "in_channel_multiplier", "out_channel_multiplier",
+                "even_trick", "padding", "learnable")
+
+
+def _conv_flatten(obj):
+    """var_weight/var_bias are children iff ``learnable`` (see Conv2d)."""
+    static = tuple(getattr(obj, n) for n in _CONV_STATIC)
+    if obj.learnable:
+        return (obj.var_weight, obj.var_bias), static
+    return (), static + (obj.var_weight, obj.var_bias)
+
+
+def _conv_unflatten(static, children):
+    obj = object.__new__(Conv2d)
+    for n, v in zip(_CONV_STATIC, static):
+        object.__setattr__(obj, n, v)
+    vw, vb = children if obj.learnable else static[len(_CONV_STATIC):]
+    object.__setattr__(obj, "var_weight", vw)
+    object.__setattr__(obj, "var_bias", vb)
+    return obj
+
+
+jax.tree_util.register_pytree_node(Conv2d, _conv_flatten, _conv_unflatten)
 
 
 class ReLU(NNGPKernel):

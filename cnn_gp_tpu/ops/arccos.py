@@ -108,12 +108,20 @@ def _relu_xla(kp: KernelPatch) -> KernelPatch:
         xy = _xy_update(kp.xy, xx_yy, acos_fn)
         return KernelPatch(xy, xx_half, kp.yy * 0.5, kp.same, kp.diag)
 
+    mask = kp.resolve_diag_mask()
+    xy_in = kp.xy
+    if mask is not None and settings.grad_safe:
+        # Double-where: same-example entries sit at cos(theta) = 1, where
+        # acos/sqrt have infinite local jacobians; their outputs are
+        # overwritten below (zero cotangent), but inf * 0 = NaN under
+        # jax.grad.  Feeding a neutral input (cos = 0) to the discarded
+        # branch keeps gradients finite without changing any primal.
+        xy_in = jnp.where(mask[:, :, None, None], 0.0, xy_in)
     if settings.relu_impl == "fast":
-        xy = _xy_update_factored(kp.xy, kp.xx, kp.yy, acos_fn)
+        xy = _xy_update_factored(xy_in, kp.xx, kp.yy, acos_fn)
     else:
         xx_yy = kp.xx[:, None] * kp.yy[None, :] + F32_TINY
-        xy = _xy_update(kp.xy, xx_yy, acos_fn)
-    mask = kp.resolve_diag_mask()
+        xy = _xy_update(xy_in, xx_yy, acos_fn)
     if mask is not None:
         # Same-example entries must equal xx' exactly
         # (cnn_gp/kernels.py:160-162).

@@ -27,11 +27,19 @@ acos_impl = "poly"
 relu_impl = "fast"
 # Contraction precision for the input second-moment einsum.
 moment_precision = "highest"
+# Differentiation-safe ReLU transform: masked same-example entries get a
+# neutral acos input (double-where) so jax.grad through the transform is
+# finite — at |cos|=1 the acos/sqrt local jacobians are infinite and the
+# zero cotangent from the output mask turns them into NaN, not 0.
+# Off by default: the extra select per ReLU layer is pure overhead for
+# the (non-differentiated) Gram path, whose primal is identical either
+# way.  cnn_gp_tpu.fit enables it around its loss.
+grad_safe = False
 
 
 def snapshot():
     return (conv_method, relu_method, acos_impl, relu_impl,
-            moment_precision)
+            moment_precision, grad_safe)
 
 
 @contextlib.contextmanager

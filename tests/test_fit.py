@@ -33,6 +33,79 @@ def test_nmll_finite_and_differentiable():
     assert g.shape == (2,) and np.isfinite(g).all() and (g != 0).any()
 
 
+def _conv_model(vw, vb, learnable=False):
+    return G.Sequential(
+        G.Conv2d(5, var_weight=vw, var_bias=vb, learnable=learnable),
+        G.ReLU(), G.Conv2d(14, padding=0))
+
+
+def test_learnable_conv_leaves():
+    """learnable=True moves var_weight/var_bias into the pytree leaves;
+    the default keeps them static (one compiled program per arch)."""
+    static = _conv_model(2.0, 1.0)
+    learn = _conv_model(2.0, 1.0, learnable=True)
+    assert len(jax.tree_util.tree_leaves(static)) == 0
+    leaves = jax.tree_util.tree_leaves(learn)
+    assert len(leaves) == 2
+    # identical kernels either way
+    x = synthetic_arrays(n_train=12, n_test=0, shape=(1, 14, 14))[0]
+    np.testing.assert_array_equal(np.asarray(static(x)),
+                                  np.asarray(learn(x)))
+
+
+def test_grad_safe_primal_identical():
+    """settings.grad_safe only changes gradients, never primal values."""
+    from cnn_gp_tpu import settings
+    model = _conv_model(2.0, 1.0)
+    x = synthetic_arrays(n_train=12, n_test=0, shape=(1, 14, 14))[0]
+    base = np.asarray(model(x))
+    with settings.override(grad_safe=True):
+        safe = np.asarray(model(x))
+    np.testing.assert_array_equal(base, safe)
+
+
+def test_conv_hyperparameter_gradients_finite():
+    """jax.grad through the ReLU transform's masked diagonal must be
+    finite (the acos local jacobian is infinite at cos=1; grad_safe's
+    double-where keeps inf * 0 out of the backward pass)."""
+    import jax.numpy as jnp
+    model = _conv_model(1.0, 0.5, learnable=True)
+    tr_x, tr_y, _, _ = synthetic_arrays(n_train=24, n_test=0,
+                                        shape=(1, 14, 14))
+    y = solve.one_hot_targets(tr_y, dtype=np.float32)
+    g = jax.grad(lambda m: neg_marginal_log_likelihood(
+        m, jnp.asarray(tr_x), jnp.asarray(y)))(model)
+    gw = float(g.mods[0].var_weight)
+    gb = float(g.mods[0].var_bias)
+    assert np.isfinite(gw) and np.isfinite(gb) and (gw != 0 or gb != 0)
+
+
+def test_fit_recovers_conv_hyperparameters():
+    """Type-II ML recovers the generating (var_weight, var_bias) from a
+    mis-initialised learnable model (the values the paper random-searched,
+    reference: cnn_gp/kernels.py:61-76)."""
+    import jax.numpy as jnp
+    vw_true, vb_true = 3.0, 1.5
+    tr_x, _, _, _ = synthetic_arrays(n_train=64, n_test=0,
+                                     shape=(1, 14, 14), seed=3)
+    k_true = np.asarray(_conv_model(vw_true, vb_true)(tr_x), np.float64)
+    s = np.diagonal(k_true).mean()
+    chol = np.linalg.cholesky(k_true / s + 1e-6 * np.eye(64))
+    rng = np.random.RandomState(0)
+    y = (chol @ rng.randn(64, 8) * np.sqrt(s)).astype(np.float32)
+    fitted, losses = fit(_conv_model(1.0, 0.5, learnable=True), tr_x, y,
+                         steps=80, learning_rate=0.1)
+    assert losses[-1] < losses[0]
+    vw = float(fitted.mods[0].var_weight)
+    vb = float(fitted.mods[0].var_bias)
+    assert abs(vw - vw_true) < 0.3, vw      # measured: recovers to ~0.01
+    assert abs(vb - vb_true) < 0.5, vb      # measured: recovers to ~0.29
+    nmll_truth = float(neg_marginal_log_likelihood(
+        _conv_model(vw_true, vb_true, learnable=True),
+        jnp.asarray(tr_x), jnp.asarray(y)))
+    assert losses[-1] < nmll_truth + 2.0    # at the truth's NMLL level
+
+
 def test_fit_recovers_generating_branch():
     """Targets drawn from branch 0's GP: marginal likelihood must
     upweight branch 0."""
