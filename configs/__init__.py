@@ -27,3 +27,15 @@ def load(name: str):
     """Load a config module by name, mirroring the reference's
     ``importlib.import_module(f"configs.{name}")``."""
     return importlib.import_module(f"configs.{name}")
+
+
+def image_shape(config) -> tuple:
+    """[C, W, H] input shape this config's dataset produces.  The
+    reference never needs this (torchvision hands it shaped data); the
+    synthetic-data scale protocols (scripts/device_large_scale.py) do."""
+    name = config.dataset_name
+    if name == "MNIST":
+        return (1, 28, 28)
+    if name == "CIFAR10":
+        return (3, 32, 32)
+    return (config.in_channels, 28, 28)       # synthetic default

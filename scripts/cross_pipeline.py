@@ -58,7 +58,10 @@ def run_equivalence(workdir, config="mnist_paper_convnet_gp", n_train=1024,
     os.makedirs(workdir, exist_ok=True)
     ds = os.path.join(workdir, "ds")
     pool = n_train + n_val                     # file 1 = train+val pool
-    _run([sys.executable, "-m", "scripts.make_fake_dataset", "mnist", ds,
+    import configs as _configs
+    kind = {"MNIST": "mnist", "CIFAR10": "cifar10"}[
+        _configs.load(config).dataset_name]
+    _run([sys.executable, "-m", "scripts.make_fake_dataset", kind, ds,
           str(pool), str(n_test)] + (["--hard"] if hard else []))
     ranges = dict(train=(0, n_train), val=(n_train, pool),
                   test=(pool, pool + n_test))

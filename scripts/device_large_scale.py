@@ -29,10 +29,11 @@ FLAGS = absl.flags.FLAGS
 
 
 def main(_):
-    model = configs.load(FLAGS.config).initial_model
+    config = configs.load(FLAGS.config)
+    model = config.initial_model
     tr_x, tr_y, te_x, te_y = synthetic_arrays(
         n_train=FLAGS.n_train, n_test=FLAGS.n_test,
-        shape=(1, 28, 28), seed=FLAGS.seed)
+        shape=configs.image_shape(config), seed=FLAGS.seed)
     splits = [(te_x, te_y)]
     if FLAGS.n_validation:
         va_x, va_y = te_x[:FLAGS.n_validation], te_y[:FLAGS.n_validation]

@@ -9,7 +9,11 @@ at any scale.
 
 Usage:
     python -m scripts.make_fake_dataset mnist  <datasets_path> [n_train n_test]
-    python -m scripts.make_fake_dataset cifar10 <datasets_path>
+    python -m scripts.make_fake_dataset cifar10 <datasets_path> [n_train n_test]
+
+``--hard`` (both kinds) makes the task genuinely non-separable (blended
+prototypes, heavy noise, 5% label flips) so pipeline-equivalence checks
+assert non-trivial accuracies.
 """
 
 import os
@@ -81,20 +85,24 @@ def make_mnist(root, n_train=60000, n_test=10000, hard=False):
           f"{', hard' if hard else ''}) under {raw}")
 
 
-def make_cifar10(root):
+def make_cifar10(root, n_train=50000, n_test=10000, hard=False):
     d = os.path.join(root, "CIFAR10", "cifar-10-batches-py")
     os.makedirs(d, exist_ok=True)
+    per = [n_train // 5] * 5                 # the loader wants 5 batches
+    per[0] += n_train - sum(per)
     # one shared prototype set across ALL batches (see _digits docstring)
     for i in range(1, 6):
-        x, y = _digits(10000, 32, seed=10 + i, proto_seed=10)
-        data = np.repeat(x[:, None], 3, axis=1).reshape(10000, -1)
+        x, y = _digits(per[i - 1], 32, seed=10 + i, proto_seed=10,
+                       hard=hard)
+        data = np.repeat(x[:, None], 3, axis=1).reshape(len(x), -1)
         with open(os.path.join(d, f"data_batch_{i}"), "wb") as f:
             pickle.dump({"data": data, "labels": y.tolist()}, f)
-    x, y = _digits(10000, 32, seed=99, proto_seed=10)
-    data = np.repeat(x[:, None], 3, axis=1).reshape(10000, -1)
+    x, y = _digits(n_test, 32, seed=99, proto_seed=10, hard=hard)
+    data = np.repeat(x[:, None], 3, axis=1).reshape(len(x), -1)
     with open(os.path.join(d, "test_batch"), "wb") as f:
         pickle.dump({"data": data, "labels": y.tolist()}, f)
-    print(f"wrote fake CIFAR-10 under {d}")
+    print(f"wrote fake CIFAR-10 ({n_train}+{n_test}"
+          f"{', hard' if hard else ''}) under {d}")
 
 
 if __name__ == "__main__":
@@ -107,8 +115,8 @@ if __name__ == "__main__":
         n_test = int(argv[3]) if len(argv) > 3 else 10000
         make_mnist(root, n_train, n_test, hard=hard)
     elif kind == "cifar10":
-        if hard:
-            raise SystemExit("--hard is only implemented for mnist")
-        make_cifar10(root)
+        n_train = int(argv[2]) if len(argv) > 2 else 50000
+        n_test = int(argv[3]) if len(argv) > 3 else 10000
+        make_cifar10(root, n_train, n_test, hard=hard)
     else:
         raise SystemExit(f"unknown dataset kind {kind!r}")

@@ -61,7 +61,9 @@ def install_torchvision_shim():
             a = np.asarray(img, np.float32) / 255.0
             if a.ndim == 2:
                 a = a[None]
-            return torch.from_numpy(a)
+            elif a.ndim == 3:              # HWC (CIFAR) -> CHW
+                a = a.transpose(2, 0, 1)
+            return torch.from_numpy(np.ascontiguousarray(a))
 
     class Compose:
         def __init__(self, fns):
@@ -100,9 +102,46 @@ def install_torchvision_shim():
                 img = self.transform(img)
             return img, int(self.targets[i])
 
+    class CIFAR10:
+        """Reads the CIFAR-10 python pickle batches; presents torchvision's
+        [N, 32, 32, 3] uint8 ``data`` + ``targets`` surface."""
+
+        def __init__(self, root, train=True, download=False, transform=None):
+            import pickle
+            for cand in (os.path.join(root, "cifar-10-batches-py"),
+                         os.path.join(root, "CIFAR10",
+                                      "cifar-10-batches-py"), root):
+                if os.path.exists(os.path.join(cand, "test_batch")):
+                    base = cand
+                    break
+            else:
+                raise FileNotFoundError(f"no CIFAR-10 batches under {root}")
+            names = ([f"data_batch_{i}" for i in range(1, 6)] if train
+                     else ["test_batch"])
+            xs, ys = [], []
+            for nm in names:
+                with open(os.path.join(base, nm), "rb") as f:
+                    e = pickle.load(f, encoding="latin1")
+                xs.append(np.asarray(e["data"], np.uint8)
+                          .reshape(-1, 3, 32, 32))
+                ys.extend(e["labels"])
+            self.data = np.concatenate(xs).transpose(0, 2, 3, 1)  # HWC
+            self.targets = [int(t) for t in ys]
+            self.transform = transform
+
+        def __len__(self):
+            return len(self.data)
+
+        def __getitem__(self, i):
+            img = self.data[i]
+            if self.transform is not None:
+                img = self.transform(img)
+            return img, int(self.targets[i])
+
     tv = types.ModuleType("torchvision")
     tv.datasets = types.ModuleType("torchvision.datasets")
     tv.datasets.MNIST = MNIST
+    tv.datasets.CIFAR10 = CIFAR10
     tv.transforms = types.ModuleType("torchvision.transforms")
     tv.transforms.ToTensor = ToTensor
     tv.transforms.Compose = Compose
