@@ -157,6 +157,26 @@ def test_ir32_float32_data_solve(mesh):
                                atol=1e-9 * np.abs(want).max())
 
 
+@pytest.mark.slow
+def test_medium_n_battery(mesh):
+    """Round-2 VERDICT #3: medium-N multi-chip case on the 8-device mesh —
+    N=2333 (divisible by neither block nor device count), block=128
+    (multi-block-per-device: 19 blocks over 8 devices), nrhs=10, paper
+    ~1e12 diagonal scale.  Residual at the refinement tolerance and the
+    solution at float64-LAPACK parity."""
+    n, block = 2333, 128
+    k = _spd(n, seed=23, scale=12)
+    jitter = 1e4
+    y = solve.one_hot_targets(np.arange(n) % 10)
+    assert y.shape[1] == 10
+    got, rel, iters = chol_solve_dist(k.copy(), y, jitter=jitter,
+                                      mesh=mesh, block=block)
+    assert rel < 1e-10, rel
+    want = np.linalg.solve(k + jitter * np.eye(n), y)
+    np.testing.assert_allclose(got, want, rtol=1e-6,
+                               atol=1e-8 * np.abs(want).max())
+
+
 def test_solve_from_store(mesh, tmp_path):
     """Blocked-I/O classify path: upper-triangle store -> chol solve,
     matching scipy on the symmetrised float64 load."""

@@ -279,6 +279,43 @@ def test_scores_regen_empty_split(small_model):
     assert out.shape == (0, 3)
 
 
+@pytest.mark.slow
+def test_classify_large_medium_n(mesh, small_model):
+    """Round-2 VERDICT #3: the fully device-resident path at medium N on
+    the 8-device mesh — N=2333 with tile size 48 and factor block 128, so
+    nothing divides anything (tile cover 2352 vs factor pad, 19 factor
+    blocks over 8 devices, uneven tail tile) and each device owns
+    multiple blocks.  Predictions must be scipy-float64-identical and the
+    residual at the f32 floor."""
+    n = 2333
+    tr_x, tr_y, te_x, te_y = synthetic_arrays(
+        n_train=n, n_test=128, shape=(1, 7, 7), seed=21)
+    accs, info = classify_device_large(
+        small_model, tr_x, tr_y, (te_x, te_y),
+        batch_size=48, block=128, jitter=1e-6, mesh=mesh,
+        refine_iters=3, variances=True, verbose=False)
+    # the f32 matvec floor scales with cond(M) too; 1e-4 bounds it for
+    # this small-model Gram (paper Grams measured tighter, BASELINE.md)
+    assert info["rel_residual"] < 1e-4, info["rel_residual"]
+
+    kxx = np.asarray(gram_in_memory(small_model, tr_x, batch_size=48,
+                                    progress=False), np.float64)
+    kzx = np.asarray(gram_in_memory(small_model, te_x, tr_x, batch_size=48,
+                                    progress=False), np.float64)
+    jit_raw = 1e-6 * float(np.mean(np.diagonal(kxx)))
+    a_ref = solve.solve_gp(kxx.copy(), solve.one_hot_targets(tr_y),
+                           jitter=jit_raw, method="scipy")
+    np.testing.assert_array_equal(info["predictions"][0],
+                                  solve.predict(kzx, a_ref))
+    # variances against the float64 oracle
+    from cnn_gp_tpu.ops.solve import predictive_variance
+    kzz = np.asarray(small_model(te_x, diag=True), np.float64)
+    want = predictive_variance(kxx, kzx, kzz, jitter=jit_raw)
+    scale = float(kzz.mean())
+    np.testing.assert_allclose(info["variances"][0], want,
+                               atol=5e-5 * scale, rtol=2e-3)
+
+
 def test_classify_large_empty_split_variances(mesh, small_model):
     """variances=True with a zero-length split must return an empty
     variance array instead of tracing a b-sized slice of a 0-row z_all
