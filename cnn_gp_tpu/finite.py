@@ -161,18 +161,38 @@ class FiniteNet:
         return self.apply(self.init(key), x)
 
 
+def _auto_sample_batch(n_images: int, channels: int, w: int, h: int) -> int:
+    """Largest safe vmap batch for :func:`sample_nn_outputs` on one chip.
+
+    The dominant live memory is the per-network activation stack
+    ``[batch, n_images, channels, W, H]`` float32; XLA keeps ~4.5 such
+    buffers live (padding included — calibrated against the measured
+    width-100 CIFAR HBM report: 45.5 GB at batch 256, i.e. ~178 MB per
+    sample = 4.3x the 41 MB unpadded activation).  Budget 12 GB of the
+    v5e's 15.75 GB HBM and round down to a multiple of 8 sublanes.
+    """
+    per_sample = 4.5 * 4 * n_images * channels * w * h
+    b = int(12e9 // per_sample)
+    return max(8, min(256, (b // 8) * 8))
+
+
 def sample_nn_outputs(model, x, key, n_samples: int, channels: int,
                       in_channels: int, out_channels: int = 1,
-                      sample_batch: int = 256) -> jax.Array:
+                      sample_batch: Optional[int] = None) -> jax.Array:
     """Monte-Carlo draws of finite-net outputs at pixel (0, 0).
 
     Vectorised replacement for the reference's 10k-iteration Python loop
     (reference: exp_random_nn/random_comparison.py:30-35): ``vmap`` over
     fresh parameter draws, scanned in chunks to bound memory.  Returns
-    ``[n_samples, N]`` where ``N = len(x)``.
+    ``[n_samples, N]`` where ``N = len(x)``.  ``sample_batch=None`` sizes
+    the chunk to fit one chip's HBM (see :func:`_auto_sample_batch` —
+    width 100 on 3x32x32 inputs OOMs at the old fixed 256).
     """
     net = FiniteNet(model, channels, in_channels, out_channels)
     x = jnp.asarray(x, jnp.float32)
+    if sample_batch is None:
+        sample_batch = _auto_sample_batch(x.shape[0], channels,
+                                          x.shape[2], x.shape[3])
 
     @jax.jit
     def one_batch(keys):

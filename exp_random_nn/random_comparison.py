@@ -39,7 +39,7 @@ def main(_):
                           channels=FLAGS.channels,
                           in_channels=config.in_channels,
                           out_channels=1,
-                          sample_batch=FLAGS.sample_batch)
+                          sample_batch=FLAGS.sample_batch or None)
     r = np.asarray(r)                       # [S, N]
 
     os.makedirs(FLAGS.out_path, exist_ok=True)
@@ -76,6 +76,7 @@ if __name__ == "__main__":
                      "the number of channels of the random finite NNs")
     f.DEFINE_integer("n_samples", 10000,
                      "Number of samples to draw from the NN")
-    f.DEFINE_integer("sample_batch", 256,
-                     "how many sampled networks to vmap per device step")
+    f.DEFINE_integer("sample_batch", 0,
+                     "how many sampled networks to vmap per device step "
+                     "(0 = auto-size to fit one chip's HBM)")
     absl.app.run(main)
