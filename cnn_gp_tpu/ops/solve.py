@@ -39,7 +39,8 @@ import numpy as np
 
 __all__ = ["one_hot_targets", "diag_add", "symmetrize_from_upper",
            "solve_gp", "predict", "accuracy", "classify",
-           "refine_with_factor", "predictive_variance"]
+           "refine_with_factor", "predictive_variance",
+           "log_marginal_likelihood"]
 
 
 def one_hot_targets(labels: np.ndarray, n_classes: Optional[int] = None,
@@ -195,6 +196,34 @@ def predictive_variance(kxx: np.ndarray, kzx: np.ndarray,
                                       lower=low, check_finite=False)
     return np.maximum(np.asarray(kzz_diag, np.float64) - (v * v).sum(0),
                       0.0)
+
+
+def log_marginal_likelihood(kxx: np.ndarray, y: np.ndarray,
+                            jitter: float = 0.0) -> float:
+    """Float64 GP log evidence ``log p(y | X)`` summed over target dims:
+    ``-1/2 tr(Y^T K'^-1 Y) - C/2 logdet K' - n C/2 log 2pi`` with
+    ``K' = K + jitter * mean(diag K) * I`` (the same *relative*-jitter
+    convention as ``classify_device_large`` and the classify_e2e
+    ``--jitter`` flag, so the two are directly comparable).
+
+    The reference framework computes no evidence anywhere; this is the
+    host oracle for the device-factor version
+    (``classify_device_large`` -> ``info["log_evidence"]``, whose
+    log-determinant reads the blocked factor's diagonal) and the
+    non-differentiable counterpart of ``fit.neg_marginal_log_likelihood``.
+    """
+    import scipy.linalg
+    kxx = np.array(kxx, np.float64)
+    y = np.asarray(y, np.float64)
+    if jitter:
+        diag_add(kxx, jitter * float(np.mean(np.diagonal(kxx))))
+    c, low = scipy.linalg.cho_factor(kxx, lower=True, check_finite=False,
+                                     overwrite_a=True)
+    alpha = scipy.linalg.cho_solve((c, low), y, check_finite=False)
+    logdet = 2.0 * float(np.sum(np.log(np.diagonal(c))))
+    n, n_cls = y.shape
+    return float(-0.5 * np.sum(y * alpha) - 0.5 * n_cls * logdet
+                 - 0.5 * n * n_cls * np.log(2.0 * np.pi))
 
 
 def classify(kxx: np.ndarray, train_labels: np.ndarray, jitter: float = 0.0,

@@ -335,6 +335,28 @@ class _ShardedFactor:
         with jax.default_matmul_precision("highest"):
             return self._solvers[key](self.l_loc, self.diags, w_dev)
 
+    def log_diag_sum(self) -> float:
+        """``sum(log(diag(L)))`` over the padded factor, in float64 on
+        device (one tiny program; only the scalar crosses the link).
+
+        Pad rows contribute exactly 0: identity padding gives them a unit
+        diagonal and zero off-diagonals, so their factor diagonal is
+        exactly 1.0 in float32 arithmetic (``sqrt(1 - 0)``).  Used for the
+        log-determinant term of the GP marginal likelihood
+        (``device_large.classify_device_large`` -> ``info["log_evidence"]``).
+        """
+        if self.diags is None:
+            raise RuntimeError("factorize before log_diag_sum")
+        if "log_diag_sum" not in self._solvers:
+            @jax.jit
+            def lds(diags):
+                d = jnp.diagonal(diags, axis1=1, axis2=2)
+                return jnp.sum(jnp.log(d.astype(jnp.float64)
+                                       if jax.config.jax_enable_x64
+                                       else d))
+            self._solvers["log_diag_sum"] = lds
+        return float(self._solvers["log_diag_sum"](self.diags))
+
     def solve(self, rhs: np.ndarray) -> np.ndarray:
         """(L L^T)^{-1} rhs through the device factor (float32)."""
         nrhs = rhs.shape[1]

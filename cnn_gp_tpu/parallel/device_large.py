@@ -481,6 +481,20 @@ def classify_device_large(model, train_x, train_y, *splits,
             elif rel > 0.9 * best_rel:
                 break
     a_final = s64[:, None] * best_a          # back to the original space
+
+    # GP log marginal likelihood (evidence) of the solved system -- model
+    # selection at scales where no explicit Gram exists, essentially free:
+    # the quadratic form reuses the (refined) solution and the
+    # log-determinant reads the live factor's diagonal blocks.  With
+    # M = S K' S (S = diag(s), K' = K + jitter_raw I, unit pad diagonal):
+    # logdet K' = 2 sum log diag(L_M) - 2 sum log s.  The reference has no
+    # evidence computation at all; the float64 oracle is
+    # ops.solve.log_marginal_likelihood.
+    logdet = 2.0 * factor.log_diag_sum() - 2.0 * float(np.sum(np.log(s64)))
+    n_cls = y64.shape[1]
+    log_evidence = (-0.5 * float(np.sum(y64 * a_final))
+                    - 0.5 * n_cls * logdet
+                    - 0.5 * n * n_cls * np.log(2.0 * np.pi))
     tick("solve+refine")
 
     # 4b. optional predictive variances -- needs the live factor
@@ -519,5 +533,6 @@ def classify_device_large(model, train_x, train_y, *splits,
     info = {"rel_residual": best_rel, "refinements": iters,
             "n": n, "n_pad": n_pad, "block": block, "predictions": preds,
             "variances": var_list,
+            "log_evidence": log_evidence, "logdet": logdet,
             "timings_s": {k_: v for k_, v in t.items() if k_ != "t0"}}
     return accs, info

@@ -41,6 +41,7 @@ def main(_):
         variances = info["variances"]
         print(f"rel residual {info['rel_residual']:.2e} after "
               f"{info['refinements']} refinements; "
+              f"log evidence {info['log_evidence']:.6g}; "
               f"timings {info['timings_s']}")
     else:
         out = classify_device(

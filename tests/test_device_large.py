@@ -350,3 +350,50 @@ def test_classify_large_single_device():
                            jitter=jit_raw, method="scipy")
     np.testing.assert_array_equal(info["predictions"][0],
                                   solve.predict(kzx, a_ref))
+
+
+def test_log_evidence_matches_oracle(mesh, small_model):
+    """The device factor's log marginal likelihood (quadratic form from
+    the refined solution + log-determinant from the factor's diagonal
+    blocks, equilibration-corrected) == the float64 cho_factor oracle
+    (ops.solve.log_marginal_likelihood) — with and without jitter, and at
+    an N that is not a multiple of the block or device count (pad rows
+    must contribute exactly zero to the log-determinant)."""
+    tr_x, tr_y, te_x, te_y = synthetic_arrays(
+        n_train=53, n_test=9, shape=(1, 7, 7), seed=21)
+    kxx = np.asarray(gram_in_memory(small_model, tr_x, batch_size=8,
+                                    progress=False), np.float64)
+    y = solve.one_hot_targets(tr_y)
+    for jitter in (0.0, 1e-4):
+        accs, info = classify_device_large(
+            small_model, tr_x, tr_y, (te_x, te_y),
+            batch_size=8, block=8, jitter=jitter, mesh=mesh, verbose=False)
+        want = solve.log_marginal_likelihood(kxx, y, jitter=jitter)
+        assert np.isfinite(info["log_evidence"])
+        np.testing.assert_allclose(info["log_evidence"], want,
+                                   rtol=5e-4, atol=5e-3 * abs(want))
+        # the logdet leg alone, vs an explicit float64 slogdet
+        kj = kxx + jitter * np.mean(np.diagonal(kxx)) * np.eye(len(kxx))
+        sign, want_logdet = np.linalg.slogdet(kj)
+        assert sign > 0
+        np.testing.assert_allclose(info["logdet"], want_logdet, rtol=1e-4)
+
+
+def test_log_evidence_paper_scale(mesh):
+    """Evidence stays correct at the paper configs' ~1e12 kernel scale:
+    the factor diagonal is of the equilibrated (unit-diagonal) system so
+    its logs are O(1) in float32; the 1e12 scale re-enters only through
+    the float64 host-side ``-2 sum log s`` correction."""
+    import configs
+    model = configs.load("mnist_paper_convnet_gp").initial_model
+    tr_x, tr_y, te_x, te_y = synthetic_arrays(
+        n_train=48, n_test=8, shape=(1, 28, 28), seed=13)
+    accs, info = classify_device_large(
+        model, tr_x, tr_y, (te_x, te_y),
+        batch_size=16, block=16, mesh=mesh, verbose=False)
+    kxx = np.asarray(gram_in_memory(model, tr_x, batch_size=16,
+                                    progress=False), np.float64)
+    assert kxx.flat[0] > 1e11
+    want = solve.log_marginal_likelihood(kxx, solve.one_hot_targets(tr_y))
+    np.testing.assert_allclose(info["log_evidence"], want,
+                               rtol=5e-4, atol=5e-3 * abs(want))
