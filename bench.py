@@ -128,6 +128,7 @@ def _measure(config_name, shape):
             break
     if not samples:
         raise TimeoutError("no positive marginal sample")
+    n_samples = len(samples)          # <3 => the median protocol degraded
     per_tile = float(np.median(samples))
 
     # XLA's own FLOP estimate for the compiled tile program
@@ -141,7 +142,7 @@ def _measure(config_name, shape):
             flops = float(cost.get("flops", 0.0)) or None
     except Exception:
         pass
-    return BATCH * BATCH / per_tile, per_tile, flops
+    return BATCH * BATCH / per_tile, per_tile, flops, n_samples
 
 
 def main():
@@ -163,10 +164,10 @@ def main():
         if name == "resnet32" and name not in results:
             raise SystemExit("bench: headline workload stalled")
 
-    value, _, _ = results["resnet32"]
+    value = results["resnet32"][0]
     flops_per_sec = {}
     vpu_util = {}
-    for name, (_, per_tile, flops) in results.items():
+    for name, (_, per_tile, flops, _) in results.items():
         if flops:
             fps = flops / per_tile
             flops_per_sec[name] = round(fps / 1e12, 3)       # T ops/s
@@ -179,7 +180,17 @@ def main():
         "breakdown": {name: round(r[0], 1) for name, r in results.items()},
         "xla_tflops_per_sec": flops_per_sec,
         "vpu_util_vs_4e12_peak": vpu_util,
+        # how many positive marginal samples each median actually saw; the
+        # protocol promises >=3 -- fewer means the tunnel discarded
+        # samples and the figure is a degraded median, flagged explicitly
+        "n_samples": {name: r[3] for name, r in results.items()},
     }
+    degraded = [name for name, r in results.items() if r[3] < 3]
+    if degraded:
+        out["degraded_median"] = degraded
+        import sys
+        print(f"bench: median protocol degraded (<3 positive samples) for"
+              f" {degraded}", file=sys.stderr, flush=True)
     # Perf regression gate (round-2 VERDICT #4): the median-protocol
     # steady state on this code is ~5.2-5.8M entries/s; below the floor
     # is a real regression or a badly degraded runtime, not noise.

@@ -50,11 +50,43 @@ def neg_marginal_log_likelihood(model, x: jax.Array, y: jax.Array,
     return 0.5 * jnp.sum(y * alpha) / s + 0.5 * y.shape[1] * logdet
 
 
+# Leaves that must stay strictly positive (variance hyperparameters of
+# Conv2d(learnable=True)): optimised in log space, so an unconstrained
+# Adam step can never drive them negative and un-PSD the kernel.
+_POSITIVE_LEAVES = frozenset(("var_weight", "var_bias"))
+# Exact zero (Conv2d's var_bias default) has no log; floor it at a value
+# negligible against any kernel scale so the leaf stays optimisable.
+_POSITIVE_FLOOR = 1e-12
+
+
+def _is_positive_path(path) -> bool:
+    k = path[-1] if path else None
+    return (isinstance(k, jax.tree_util.GetAttrKey)
+            and k.name in _POSITIVE_LEAVES)
+
+
+def _to_log_space(model):
+    return jax.tree_util.tree_map_with_path(
+        lambda p, v: jnp.log(jnp.maximum(v, _POSITIVE_FLOOR))
+        if _is_positive_path(p) else v, model)
+
+
+def _from_log_space(raw):
+    return jax.tree_util.tree_map_with_path(
+        lambda p, v: jnp.exp(v) if _is_positive_path(p) else v, raw)
+
+
 def fit(model, x, y, steps: int = 50, learning_rate: float = 0.1,
         jitter: float = 1e-6,
         loss_fn: Optional[Callable] = None) -> Tuple[object, np.ndarray]:
-    """Optimise the model's array leaves (e.g. Mixture logits) by gradient
-    descent on the marginal likelihood.  Returns (fitted_model, losses)."""
+    """Optimise the model's array leaves (e.g. Mixture logits, learnable
+    Conv2d variances) by gradient descent on the marginal likelihood.
+    Returns (fitted_model, losses).
+
+    Positive-only leaves (``var_weight``/``var_bias``) are optimised in
+    log space — multiplicative Adam steps that cannot cross zero; an
+    unconstrained step on the raw values could make the kernel non-PSD
+    and collapse the whole fit to NaN."""
     import optax
 
     if loss_fn is None:
@@ -65,14 +97,16 @@ def fit(model, x, y, steps: int = 50, learning_rate: float = 0.1,
     opt = optax.adam(learning_rate)
 
     @jax.jit
-    def step(model, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(model)
+    def step(raw, opt_state):
+        loss, grads = jax.value_and_grad(
+            lambda r: loss_fn(_from_log_space(r)))(raw)
         updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(model, updates), opt_state, loss
+        return optax.apply_updates(raw, updates), opt_state, loss
 
-    opt_state = opt.init(model)
+    raw = _to_log_space(model)
+    opt_state = opt.init(raw)
     losses = []
     for _ in range(steps):
-        model, opt_state, loss = step(model, opt_state)
+        raw, opt_state, loss = step(raw, opt_state)
         losses.append(float(loss))
-    return model, np.asarray(losses)
+    return _from_log_space(raw), np.asarray(losses)

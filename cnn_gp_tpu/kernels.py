@@ -263,7 +263,18 @@ def _conv_unflatten(static, children):
     return obj
 
 
-jax.tree_util.register_pytree_node(Conv2d, _conv_flatten, _conv_unflatten)
+def _conv_flatten_with_keys(obj):
+    """Same flattening, with named keys so ``fit`` can recognise the
+    positive-only variance leaves by path and optimise them in log
+    space."""
+    children, static = _conv_flatten(obj)
+    keys = (jax.tree_util.GetAttrKey("var_weight"),
+            jax.tree_util.GetAttrKey("var_bias"))[:len(children)]
+    return tuple(zip(keys, children)), static
+
+
+jax.tree_util.register_pytree_with_keys(
+    Conv2d, _conv_flatten_with_keys, _conv_unflatten, _conv_flatten)
 
 
 class ReLU(NNGPKernel):

@@ -30,6 +30,7 @@ FLAGS = absl.flags.FLAGS
 
 
 def make_model(var_weight, var_bias, learnable=False):
+    """The demo architecture, shared with tests/test_fit.py."""
     return G.Sequential(
         G.Conv2d(5, var_weight=var_weight, var_bias=var_bias,
                  learnable=learnable),
@@ -37,16 +38,23 @@ def make_model(var_weight, var_bias, learnable=False):
         G.Conv2d(14, padding=0))
 
 
+def draw_gp_targets(truth, tr_x, n_functions, seed):
+    """Function draws from the truth kernel's GP (scale-normalised
+    Cholesky for float conditioning; shared with tests/test_fit.py so the
+    demo and the recovery test cannot silently diverge)."""
+    k_true = np.asarray(truth(tr_x), np.float64)
+    s = np.diagonal(k_true).mean()
+    chol = np.linalg.cholesky(k_true / s + 1e-6 * np.eye(len(k_true)))
+    rng = np.random.RandomState(seed)
+    return (chol @ rng.randn(len(k_true), n_functions)
+            * np.sqrt(s)).astype(np.float32)
+
+
 def main(_):
     tr_x, _, _, _ = synthetic_arrays(n_train=FLAGS.n_train, n_test=0,
                                      shape=(1, 14, 14), seed=FLAGS.seed)
     truth = make_model(FLAGS.vw_true, FLAGS.vb_true)
-    k_true = np.asarray(truth(tr_x), np.float64)
-    s = np.diagonal(k_true).mean()
-    chol = np.linalg.cholesky(k_true / s + 1e-6 * np.eye(len(k_true)))
-    rng = np.random.RandomState(FLAGS.seed)
-    y = (chol @ rng.randn(len(k_true), FLAGS.n_functions)
-         * np.sqrt(s)).astype(np.float32)
+    y = draw_gp_targets(truth, tr_x, FLAGS.n_functions, FLAGS.seed)
 
     model = make_model(FLAGS.vw_init, FLAGS.vb_init, learnable=True)
     fitted, losses = fit(model, tr_x, y, steps=FLAGS.steps,

@@ -94,11 +94,13 @@ def make_cifar10(root, n_train=50000, n_test=10000, hard=False):
     for i in range(1, 6):
         x, y = _digits(per[i - 1], 32, seed=10 + i, proto_seed=10,
                        hard=hard)
-        data = np.repeat(x[:, None], 3, axis=1).reshape(len(x), -1)
+        # explicit width: reshape(len(x), -1) cannot infer -1 for an
+        # empty batch (n_train < 5 leaves later batches with 0 rows)
+        data = np.repeat(x[:, None], 3, axis=1).reshape(len(x), 3 * 32 * 32)
         with open(os.path.join(d, f"data_batch_{i}"), "wb") as f:
             pickle.dump({"data": data, "labels": y.tolist()}, f)
     x, y = _digits(n_test, 32, seed=99, proto_seed=10, hard=hard)
-    data = np.repeat(x[:, None], 3, axis=1).reshape(len(x), -1)
+    data = np.repeat(x[:, None], 3, axis=1).reshape(len(x), 3 * 32 * 32)
     with open(os.path.join(d, "test_batch"), "wb") as f:
         pickle.dump({"data": data, "labels": y.tolist()}, f)
     print(f"wrote fake CIFAR-10 ({n_train}+{n_test}"

@@ -33,10 +33,9 @@ def test_nmll_finite_and_differentiable():
     assert g.shape == (2,) and np.isfinite(g).all() and (g != 0).any()
 
 
-def _conv_model(vw, vb, learnable=False):
-    return G.Sequential(
-        G.Conv2d(5, var_weight=vw, var_bias=vb, learnable=learnable),
-        G.ReLU(), G.Conv2d(14, padding=0))
+# the demo script's exact architecture and target-drawing (single source
+# of truth: scripts/fit_hyperparams.py)
+from scripts.fit_hyperparams import draw_gp_targets, make_model as _conv_model
 
 
 def test_learnable_conv_leaves():
@@ -88,11 +87,7 @@ def test_fit_recovers_conv_hyperparameters():
     vw_true, vb_true = 3.0, 1.5
     tr_x, _, _, _ = synthetic_arrays(n_train=64, n_test=0,
                                      shape=(1, 14, 14), seed=3)
-    k_true = np.asarray(_conv_model(vw_true, vb_true)(tr_x), np.float64)
-    s = np.diagonal(k_true).mean()
-    chol = np.linalg.cholesky(k_true / s + 1e-6 * np.eye(64))
-    rng = np.random.RandomState(0)
-    y = (chol @ rng.randn(64, 8) * np.sqrt(s)).astype(np.float32)
+    y = draw_gp_targets(_conv_model(vw_true, vb_true), tr_x, 8, 0)
     fitted, losses = fit(_conv_model(1.0, 0.5, learnable=True), tr_x, y,
                          steps=80, learning_rate=0.1)
     assert losses[-1] < losses[0]
@@ -121,3 +116,18 @@ def test_fit_recovers_generating_branch():
     assert losses[-1] < losses[0], losses
     w = np.asarray(jax.nn.softmax(fitted.logit))
     assert w[0] > 0.6, w  # generating branch upweighted
+
+
+def test_fit_positive_leaves_survive_big_steps():
+    """Variance hyperparameters are optimised in log space: an aggressive
+    learning rate on a small var_bias must NOT cross zero, un-PSD the
+    kernel, and collapse the fit to NaN (an unconstrained Adam step of
+    ~learning_rate would)."""
+    tr_x, _, _, _ = synthetic_arrays(n_train=24, n_test=0,
+                                     shape=(1, 14, 14), seed=4)
+    y = np.random.RandomState(1).randn(24, 4).astype(np.float32)
+    model = _conv_model(0.8, 0.05, learnable=True)   # var_bias << lr
+    fitted, losses = fit(model, tr_x, y, steps=12, learning_rate=0.3)
+    assert np.isfinite(losses).all(), losses
+    assert float(fitted.mods[0].var_weight) > 0
+    assert float(fitted.mods[0].var_bias) > 0
