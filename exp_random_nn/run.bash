@@ -7,7 +7,11 @@ DATASETS=${DATASETS:-/tmp/datasets}
 OUT_ROOT=${OUT_ROOT:-/tmp/random_nn}
 N_SAMPLES=${N_SAMPLES:-10000}
 
-for config in cifar10 mnist_paper_convnet_gp mnist_paper_residual_cnn_gp; do
+# reference run.bash:8 loops these three; its shipped artifacts also
+# include an mnist_as_tf figure -- override with CONFIGS to reproduce it
+CONFIGS=${CONFIGS:-"cifar10 mnist_paper_convnet_gp mnist_paper_residual_cnn_gp"}
+
+for config in $CONFIGS; do
     out="$OUT_ROOT/$config"
     mkdir -p "$out"
     for channels in 3 10 30 100; do
