@@ -397,3 +397,23 @@ def test_log_evidence_paper_scale(mesh):
     want = solve.log_marginal_likelihood(kxx, solve.one_hot_targets(tr_y))
     np.testing.assert_allclose(info["log_evidence"], want,
                                rtol=5e-4, atol=5e-3 * abs(want))
+
+
+@pytest.mark.slow
+def test_model_selection_script(tmp_path):
+    """scripts/model_selection ranks kernels by training-split evidence
+    and prints a selection line (smoke: two cheap MNIST-shaped models on
+    the virtual mesh)."""
+    import subprocess
+    import sys
+    out = subprocess.run(
+        [sys.executable, "-m", "scripts.model_selection",
+         "--n_train=48", "--n_test=16", "--batch_size=16", "--block=16",
+         "--models=mnist_paper_convnet_gp,mnist_paper_residual_cnn_gp"],
+        capture_output=True, text=True, timeout=900,
+        cwd="/root/repo").stdout
+    assert "evidence ranking:" in out, out
+    assert "selected " in out, out
+    # every reported evidence must be finite (printed as a number,
+    # not nan/inf)
+    assert "nan" not in out and "inf" not in out, out
