@@ -85,3 +85,18 @@ def test_random_comparison_driver(tmp_path):
     # loose agreement even at 200 samples / width 16
     corr = np.corrcoef(cov["est"], cov["true"])[0, 1]
     assert corr > 0.5, corr
+
+
+@pytest.mark.slow
+def test_classify_e2e_large_cli(tmp_path):
+    """The one-shot device-resident driver (classify_e2e --large): both
+    splits classified, residual and GP evidence reported (this CLI has no
+    store dependency -- the synthetic config is dataset-free)."""
+    r = run(["exp_mnist_resnet.classify_e2e", "--config=synthetic",
+             f"--datasets_path={tmp_path}", "--batch_size=32",
+             "--block=64", "--large"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "validation accuracy:" in r.stdout, r.stdout
+    assert "test accuracy:" in r.stdout, r.stdout
+    assert "log evidence" in r.stdout, r.stdout
+    assert "nan" not in r.stdout and "inf" not in r.stdout, r.stdout
