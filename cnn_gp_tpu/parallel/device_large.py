@@ -405,10 +405,14 @@ def classify_device_large(model, train_x, train_y, *splits,
     b = batch_size
     if tol is None:
         # the residual is *measured* through the f32 regeneration matvec,
-        # whose own accumulation floor is ~sqrt(N)*eps32 (observed 1.4e-5
-        # at 16k); refining below the measurement floor just burns
-        # assembly-priced matvec passes
-        tol = 2.0 * np.sqrt(n) * float(np.finfo(np.float32).eps)
+        # whose own accumulation floor is ~c*sqrt(N)*eps32 with measured
+        # c = 1.3 (16k) / 2.5 (50k, unrefined) / 2.7 (60k) — BASELINE.md
+        # "Fully device-resident classification".  The old 2.0 constant
+        # sat *below* the 50k/60k floors, so every default run paid one
+        # assembly-priced refinement sweep that left the residual at the
+        # floor and never changed a prediction; 3.0 covers the measured
+        # floors so refinement fires only when the solve genuinely missed
+        tol = 3.0 * np.sqrt(n) * float(np.finfo(np.float32).eps)
     t = {"t0": time.perf_counter()}
 
     def tick(name):
