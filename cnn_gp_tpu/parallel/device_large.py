@@ -474,6 +474,7 @@ def classify_device_large(model, train_x, train_y, *splits,
         r = ys - matvec(a)
         rel = float(np.max(np.linalg.norm(r, axis=0) / y_norm))
         best_a, best_rel = a, rel
+        rel_unrefined = rel       # what the floor-tol criterion compared
         iters = 0
         while iters < refine_iters and best_rel > tol:
             iters += 1
@@ -534,7 +535,8 @@ def classify_device_large(model, train_x, train_y, *splits,
         accs.append(solve_ops.accuracy(preds[-1], np.asarray(labels)))
     tick("predict")
 
-    info = {"rel_residual": best_rel, "refinements": iters,
+    info = {"rel_residual": best_rel, "rel_residual_unrefined": rel_unrefined,
+            "refinements": iters,
             "n": n, "n_pad": n_pad, "block": block, "predictions": preds,
             "variances": var_list,
             "log_evidence": log_evidence, "logdet": logdet,

@@ -47,6 +47,7 @@ def main(_):
         refine_iters=FLAGS.refine_iters, variances=FLAGS.variances)
     wall = time.perf_counter() - t0
     print(f"accs {accs} wall {wall:.1f}s rel {info['rel_residual']:.2e} "
+          f"(unrefined {info['rel_residual_unrefined']:.2e}) "
           f"refinements {info['refinements']} "
           f"log_evidence {info['log_evidence']:.6g} "
           f"timings {info['timings_s']}",
