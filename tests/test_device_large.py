@@ -116,6 +116,28 @@ def test_classify_large_padding_edges(mesh):
                                   solve.predict(kzx, a_ref))
 
 
+def test_classify_large_floor_tol(mesh, small_model):
+    """The floor-covering tol contract: a tol above the achieved residual
+    means NO refinement sweep runs (the sweep costs an assembly-priced
+    matvec pass at scale), while the unrefined residual is still measured
+    and reported — refinement is skipped by evidence, never blindly."""
+    tr_x, tr_y, te_x, te_y = synthetic_arrays(
+        n_train=48, n_test=8, shape=(1, 7, 7), seed=7)
+    accs, info = classify_device_large(
+        small_model, tr_x, tr_y, (te_x, te_y),
+        batch_size=16, block=16, mesh=mesh, tol=1.0, refine_iters=3,
+        verbose=False)
+    assert info["refinements"] == 0
+    assert info["rel_residual"] == info["rel_residual_unrefined"] > 0.0
+    # and with an unreachable tol the cap still bounds the sweeps
+    _, info2 = classify_device_large(
+        small_model, tr_x, tr_y, (te_x, te_y),
+        batch_size=16, block=16, mesh=mesh, tol=0.0, refine_iters=2,
+        verbose=False)
+    assert info2["refinements"] <= 2
+    assert info2["rel_residual"] <= info2["rel_residual_unrefined"]
+
+
 def test_assemble_chunked_matches_explicit(small_model):
     """The donated chunked lower-triangle assembly (with idempotent
     pad-tile rewrites) must equal the explicitly scaled Gram's lower
