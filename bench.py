@@ -38,12 +38,13 @@ Prints ONE JSON line:
 
 import json
 import os
-import signal
 import subprocess
 import sys
 import time
 
 import numpy as np
+
+from cnn_gp_tpu.utils.tpu_probe import wait_for_tpu
 
 # Reference (torch CPU, single thread) measured on this container:
 # 32x32 mnist_as_tf tile in 725 ms => 1,413 entries/s.  See BASELINE.md.
@@ -62,48 +63,7 @@ WORKLOADS = {
 }
 
 
-class _Watchdog:
-    """Abort a stalled attempt (the tunneled TPU runtime occasionally hangs
-    for minutes) so a retry can still produce the JSON line."""
-
-    def __init__(self, seconds):
-        self.seconds = seconds
-
-    def __enter__(self):
-        def _raise(signum, frame):
-            raise TimeoutError(f"bench attempt stalled > {self.seconds}s")
-        self._old = signal.signal(signal.SIGALRM, _raise)
-        signal.alarm(self.seconds)
-        return self
-
-    def __exit__(self, *exc):
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, self._old)
-        return False
-
-
-def _probe_tpu(timeout_s=150):
-    """True iff a real TPU backend initialises AND executes in a fresh
-    subprocess.  A subprocess (not in-process _Watchdog) because a hung
-    backend init blocks in C where SIGALRM never fires; the observed
-    outage modes are exactly that hang and a fast 'No jellyfish device
-    found' RuntimeError (CLAUDE.md 'Environment gotchas')."""
-    code = (
-        "import jax, numpy as np\n"
-        "assert jax.default_backend() == 'tpu', jax.default_backend()\n"
-        "x = jax.numpy.ones((128, 128))\n"
-        "np.asarray(x @ x)\n"
-        "print('TPU_OK')\n"
-    )
-    try:
-        r = subprocess.run([sys.executable, "-c", code],
-                           timeout=timeout_s, capture_output=True, text=True)
-        return r.returncode == 0 and "TPU_OK" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
-
-
-def _wait_for_tpu():
+def _wait_out_outage():
     """Wait out a tunnel outage (observed up to hours) within a bounded
     budget.  Returns True when the TPU answers; False when the budget is
     exhausted -- the caller then emits an explicit-failure JSON line
@@ -112,19 +72,9 @@ def _wait_for_tpu():
     if os.environ.get("BENCH_ALLOW_CPU") == "1":
         return True  # debugging escape hatch: measure whatever backend is up
     budget = float(os.environ.get("BENCH_TPU_WAIT_S", "1800"))
-    deadline = time.monotonic() + budget
-    attempt = 0
-    while True:
-        if _probe_tpu():
-            return True
-        attempt += 1
-        remaining = deadline - time.monotonic()
-        if remaining <= 0:
-            return False
-        print(f"bench: TPU probe {attempt} failed; tunnel outage?"
-              f" retrying ({remaining:.0f}s of wait budget left)",
-              file=sys.stderr, flush=True)
-        time.sleep(min(60.0, max(0.0, remaining)))
+    return wait_for_tpu(
+        budget,
+        log=lambda s: print(f"bench: {s}", file=sys.stderr, flush=True))
 
 
 def _measure(config_name, shape):
@@ -193,8 +143,26 @@ def _measure(config_name, shape):
     return BATCH * BATCH / per_tile, per_tile, flops, n_samples
 
 
+def _measure_in_subprocess(name, budget):
+    """One workload measurement in a killable child process.
+
+    The tunnel can hang *mid-measurement* too (after a successful probe),
+    blocked in C where an in-process SIGALRM watchdog never fires — only
+    a subprocess kill bounds that.  The child is this same file in
+    --worker mode; its stderr is forwarded for diagnostics."""
+    r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--worker", name],
+                       timeout=budget, capture_output=True, text=True)
+    if r.stderr:
+        sys.stderr.write(r.stderr)
+        sys.stderr.flush()
+    if r.returncode != 0:
+        raise RuntimeError(f"worker exited {r.returncode}")
+    return tuple(json.loads(r.stdout.strip().splitlines()[-1]))
+
+
 def main():
-    if not _wait_for_tpu():
+    if not _wait_out_outage():
         # One honest JSON line the driver can still record: the chip was
         # unreachable, not the code slow.  value=0 + explicit flag beats
         # a SystemExit (no line at all) or a CPU-fallback measurement
@@ -210,14 +178,14 @@ def main():
         }))
         return
     results = {}
-    for name, (config_name, shape) in WORKLOADS.items():
+    for name in WORKLOADS:
         for attempt, budget in enumerate((420, 420, 600)):
             try:
-                with _Watchdog(budget):
-                    results[name] = _measure(config_name, shape)
+                results[name] = _measure_in_subprocess(name, budget)
                 break
             # the tunnel's remote-compile channel can also DROP (an
-            # XlaRuntimeError, not a timeout) on big programs; a failing
+            # XlaRuntimeError in the worker, surfacing as a nonzero
+            # exit), or hang mid-run (a TimeoutExpired kill); a failing
             # secondary workload must degrade to a partial breakdown, not
             # discard the already-measured headline JSON line
             except Exception as e:
@@ -264,4 +232,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--worker":
+        # child mode (one workload, parent enforces the timeout): print
+        # the raw measurement tuple as the last stdout line
+        _name = sys.argv[2]
+        _config_name, _shape = WORKLOADS[_name]
+        print(json.dumps(list(_measure(_config_name, _shape))))
+    else:
+        main()

@@ -97,6 +97,11 @@ def compute_gram_sharded(model, X, Z=None, *, batch_size: int = 200,
         n_tiles = len(offsets)
     if out is None and store is None:
         out = np.full((n1, n2), np.nan, np.float32)
+    if n_tiles == 0:
+        # fully resumed (or empty): nothing to compute — skip the dataset
+        # upload entirely (re-running on a completed store must be a no-op,
+        # not a ~5-10 s replicated transfer over the 40 MB/s tunnel)
+        return out
 
     # ONE replicated upload, reused by every round: a per-round
     # jnp.asarray(x_np) inside the loop re-transferred the whole (padded)

@@ -26,6 +26,18 @@ from cnn_gp_tpu.data import DatasetFromConfig
 FLAGS = absl.flags.FLAGS
 
 
+def _atomic_to_csv(df, path):
+    """Write-then-rename so a killed run never leaves a truncated CSV.
+
+    run.bash's resume-by-skip uses a non-empty cov CSV as the completion
+    marker; pandas ``to_csv`` is not atomic, so a mid-write kill (tunnel
+    outage, OOM) would otherwise leave a partial file the battery skips
+    forever and the figure silently plots."""
+    tmp = path + ".tmp"
+    df.to_csv(tmp, index=False)
+    os.replace(tmp, path)
+
+
 def main(_):
     config = configs.load(FLAGS.config)
     dataset = DatasetFromConfig(FLAGS.datasets_path, config)
@@ -45,9 +57,9 @@ def main(_):
     os.makedirs(FLAGS.out_path, exist_ok=True)
     samples_output_filename = os.path.join(
         FLAGS.out_path, f"{FLAGS.channels:04d}_{FLAGS.seed:04d}_samples.csv")
-    pd.DataFrame({
+    _atomic_to_csv(pd.DataFrame({
         "r0": r[:, 0] / np.sqrt(true_cov[0, 0]),
-    }).to_csv(samples_output_filename, index=False)
+    }), samples_output_filename)
 
     ni = inputs.shape[0]
     i = np.arange(ni) * np.ones([ni, 1])
@@ -56,12 +68,12 @@ def main(_):
 
     cov_output_filename = os.path.join(
         FLAGS.out_path, f"{FLAGS.channels:04d}_{FLAGS.seed:04d}_cov.csv")
-    pd.DataFrame({
+    _atomic_to_csv(pd.DataFrame({
         "i": i.ravel(),
         "j": j.ravel(),
         "est": est_cov.ravel(),
         "true": true_cov.ravel(),
-    }).to_csv(cov_output_filename, index=False)
+    }), cov_output_filename)
 
 
 if __name__ == "__main__":

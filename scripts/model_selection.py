@@ -28,15 +28,6 @@ from cnn_gp_tpu.parallel import classify_device_large
 from scripts.make_fake_dataset import _digits
 
 FLAGS = absl.flags.FLAGS
-absl.flags.DEFINE_integer("n_train", 2048, "training examples")
-absl.flags.DEFINE_integer("n_test", 512, "held-out examples")
-absl.flags.DEFINE_integer("batch_size", 128, "Gram tile size")
-absl.flags.DEFINE_integer("block", 512, "factor block size")
-absl.flags.DEFINE_float("jitter", 0.0, "relative diagonal jitter")
-absl.flags.DEFINE_list(
-    "models", ["mnist_paper_convnet_gp", "mnist_paper_residual_cnn_gp",
-               "mnist_as_tf"],
-    "configs to rank (must share the input shape)")
 
 
 def main(_):
@@ -71,4 +62,16 @@ def main(_):
 
 
 if __name__ == "__main__":
+    # flags under the guard so the module stays importable next to other
+    # flag-defining modules (absl DuplicateFlagError), matching
+    # fit_hyperparams / mc_width_check / device_large_scale
+    absl.flags.DEFINE_integer("n_train", 2048, "training examples")
+    absl.flags.DEFINE_integer("n_test", 512, "held-out examples")
+    absl.flags.DEFINE_integer("batch_size", 128, "Gram tile size")
+    absl.flags.DEFINE_integer("block", 512, "factor block size")
+    absl.flags.DEFINE_float("jitter", 0.0, "relative diagonal jitter")
+    absl.flags.DEFINE_list(
+        "models", ["mnist_paper_convnet_gp", "mnist_paper_residual_cnn_gp",
+                   "mnist_as_tf"],
+        "configs to rank (must share the input shape)")
     absl.app.run(main)

@@ -39,23 +39,15 @@ def _tpu_env():
 
 
 def _probe_tpu(env, timeout=180):
-    """Bounded TPU reachability probe.  The tunneled backend HANGS (rather
-    than failing) during outages, so mc_width_check's own exit-42 check can
-    never fire; without this probe each width-100 test burns its full
-    subprocess timeout before reporting.  A probe timeout means the
-    backend is unreachable right now — an environment condition, not a
-    code failure — so the caller skips."""
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, numpy as np;"
-             "print(np.asarray(jax.numpy.ones(2) + 1)[0],"
-             "      jax.default_backend())"],
-            capture_output=True, text=True, env=env, timeout=timeout)
-    except subprocess.TimeoutExpired:
-        pytest.skip("TPU unreachable (backend probe hung; tunnel outage)")
-    if r.returncode != 0 or "tpu" not in r.stdout:
-        pytest.skip("no TPU backend for the width-100 MC run")
+    """Bounded TPU reachability probe (shared helper: the tunneled backend
+    HANGS rather than failing during outages, so mc_width_check's own
+    exit-42 check can never fire; without this probe each width-100 test
+    burns its full subprocess timeout before reporting).  An unreachable
+    backend is an environment condition, not a code failure — skip."""
+    from cnn_gp_tpu.utils.tpu_probe import probe_tpu
+    if not probe_tpu(timeout, env=env):
+        pytest.skip("no reachable TPU for the width-100 MC run "
+                    "(no backend, or tunnel outage)")
 
 
 def _run_width_check(config, **kw):

@@ -106,6 +106,27 @@ def test_diag_iterator_cross_pair():
     assert all(not s for s, _, _ in items)
 
 
+def test_probe_tpu_false_on_cpu_env():
+    """On this CPU-forced test env the subprocess probe must report
+    'no TPU' quickly (backend resolves to cpu, assert fails) — the exact
+    gate that stops bench.py from benchmarking a CPU fallback."""
+    from cnn_gp_tpu.utils import tpu_probe
+    assert tpu_probe.probe_tpu(timeout_s=120) is False
+
+
+def test_wait_for_tpu_budget_and_log(monkeypatch):
+    from cnn_gp_tpu.utils import tpu_probe
+    logs = []
+    # budget exhausted: returns False, logged each failed probe
+    monkeypatch.setattr(tpu_probe, "probe_tpu", lambda t, env=None: False)
+    assert tpu_probe.wait_for_tpu(0.05, sleep_s=0.01,
+                                  log=logs.append) is False
+    assert logs and "outage" in logs[0]
+    # immediate success: returns True without sleeping
+    monkeypatch.setattr(tpu_probe, "probe_tpu", lambda t, env=None: True)
+    assert tpu_probe.wait_for_tpu(0.05, log=logs.append) is True
+
+
 def test_default_cache_dir_gating(monkeypatch):
     """The per-platform default compilation cache must: respect an env
     override, never touch an explicit non-default config value, key on

@@ -94,6 +94,33 @@ def test_sharded_gram_single_upload(model, mesh, monkeypatch):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-7)
 
 
+def test_sharded_gram_resumed_noop_uploads_nothing(model, mesh, tmp_path,
+                                                   monkeypatch):
+    """Re-running on a fully completed store must not upload the dataset
+    at all (the hoisted device_put sat before the zero-tile early exit;
+    ~5-10 s of wasted replicated transfer per no-op on the real tunnel)."""
+    from cnn_gp_tpu.parallel import gram_sharded as gs
+
+    x, _, _, _ = synthetic_arrays(n_train=33, n_test=0, shape=(1, 7, 7))
+    path = str(tmp_path / "sharded.h5")
+    with GramStore(path, "w") as store:
+        compute_gram_sharded(model, x, batch_size=10, mesh=mesh,
+                             store=store, name="Kxx", progress=False)
+        puts = []
+        real_put = jax.device_put
+
+        def spy_put(a, *args, **kw):
+            if getattr(a, "ndim", 0) == 4:
+                puts.append(a.shape)
+            return real_put(a, *args, **kw)
+
+        monkeypatch.setattr(gs.jax, "device_put", spy_put)
+        compute_gram_sharded(model, x, batch_size=10, mesh=mesh,
+                             store=store, name="Kxx", progress=False)
+        assert not puts, puts
+        store.assert_complete("Kxx", upper_triangle_only=True)
+
+
 def _spd(n, seed=0):
     r = np.random.RandomState(seed)
     a = r.randn(n, n).astype(np.float64)
