@@ -56,10 +56,12 @@ N1, N2 = 8, 40
 VPU_PEAK = 4.0e12  # nominal v5e f32 VPU ops/s (8x128 lanes x 4 ALUs x ~1GHz)
 REGRESSION_FLOOR = 5.0e6  # headline entries/s below this => regression flag
 
+# workload name -> config name; input shapes come from
+# configs.image_shape() so they can't drift from the configs themselves
 WORKLOADS = {
-    "resnet32": ("mnist_as_tf", (1, 28, 28)),
-    "convnet_gp": ("mnist_paper_convnet_gp", (1, 28, 28)),
-    "cifar10": ("cifar10", (3, 32, 32)),
+    "resnet32": "mnist_as_tf",
+    "convnet_gp": "mnist_paper_convnet_gp",
+    "cifar10": "cifar10",
 }
 
 
@@ -77,13 +79,15 @@ def _wait_out_outage():
         log=lambda s: print(f"bench: {s}", file=sys.stderr, flush=True))
 
 
-def _measure(config_name, shape):
+def _measure(config_name):
     import jax
     import configs
     from cnn_gp_tpu import settings
     from cnn_gp_tpu.parallel.gram import _tile_jit
 
-    model = configs.load(config_name).initial_model
+    config = configs.load(config_name)
+    model = config.initial_model
+    shape = configs.image_shape(config)
     rng = np.random.RandomState(0)
     x = jax.device_put(
         rng.rand(BATCH * 4, *shape).astype(np.float32))
@@ -150,9 +154,18 @@ def _measure_in_subprocess(name, budget):
     blocked in C where an in-process SIGALRM watchdog never fires — only
     a subprocess kill bounds that.  The child is this same file in
     --worker mode; its stderr is forwarded for diagnostics."""
-    r = subprocess.run([sys.executable, os.path.abspath(__file__),
-                        "--worker", name],
-                       timeout=budget, capture_output=True, text=True)
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--worker", name],
+                           timeout=budget, capture_output=True, text=True)
+    except subprocess.TimeoutExpired as e:
+        # the killed worker's stderr up to the hang is the only evidence
+        # distinguishing a tunnel outage from a code hang -- forward it
+        if e.stderr:
+            sys.stderr.write(e.stderr if isinstance(e.stderr, str)
+                             else e.stderr.decode(errors="replace"))
+            sys.stderr.flush()
+        raise
     if r.stderr:
         sys.stderr.write(r.stderr)
         sys.stderr.flush()
@@ -192,7 +205,22 @@ def main():
                 print(f"bench[{name}] attempt {attempt}: {type(e).__name__}:"
                       f" {e}", file=sys.stderr, flush=True)
         if name == "resnet32" and name not in results:
-            raise SystemExit("bench: headline workload stalled")
+            # same contract as the pre-run outage branch: the driver is
+            # promised ONE JSON line, and a tunnel that probes healthy
+            # then hangs mid-measurement is still an environment failure,
+            # not slow code -- record it explicitly instead of SystemExit
+            print(json.dumps({
+                "metric": "gram_entries_per_sec_per_chip_resnet32_gp",
+                "value": 0.0,
+                "unit": "entries/s/chip",
+                "vs_baseline": 0.0,
+                "error": "headline_workload_stalled",
+                "note": "TPU probe succeeded but every headline "
+                        "measurement attempt timed out or crashed; "
+                        "last good measurement: BENCH_r02.json / "
+                        "BASELINE.md",
+            }))
+            return
 
     value = results["resnet32"][0]
     flops_per_sec = {}
@@ -235,8 +263,6 @@ if __name__ == "__main__":
     if len(sys.argv) == 3 and sys.argv[1] == "--worker":
         # child mode (one workload, parent enforces the timeout): print
         # the raw measurement tuple as the last stdout line
-        _name = sys.argv[2]
-        _config_name, _shape = WORKLOADS[_name]
-        print(json.dumps(list(_measure(_config_name, _shape))))
+        print(json.dumps(list(_measure(WORKLOADS[sys.argv[2]]))))
     else:
         main()

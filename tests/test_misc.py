@@ -127,6 +127,61 @@ def test_wait_for_tpu_budget_and_log(monkeypatch):
     assert tpu_probe.wait_for_tpu(0.05, log=logs.append) is True
 
 
+def _bench_json(capsys):
+    lines = capsys.readouterr().out.strip().splitlines()
+    import json
+    return json.loads(lines[-1])
+
+
+def test_bench_outage_emits_one_json_line(monkeypatch, capsys):
+    """Driver contract: bench.py prints ONE JSON line even when the
+    tunnel never answers — value 0 with an explicit error flag."""
+    import bench
+    monkeypatch.setattr(bench, "_wait_out_outage", lambda: False)
+    bench.main()
+    rec = _bench_json(capsys)
+    assert rec["error"] == "tpu_unavailable"
+    assert rec["value"] == 0.0 and rec["vs_baseline"] == 0.0
+
+
+def test_bench_headline_stall_emits_one_json_line(monkeypatch, capsys):
+    """A probe that succeeds then a mid-measurement hang on the headline
+    workload must still end in one honest JSON line, not SystemExit."""
+    import subprocess
+    import bench
+    monkeypatch.setattr(bench, "_wait_out_outage", lambda: True)
+
+    def stall(name, budget):
+        raise subprocess.TimeoutExpired(["bench"], budget)
+
+    monkeypatch.setattr(bench, "_measure_in_subprocess", stall)
+    bench.main()
+    rec = _bench_json(capsys)
+    assert rec["error"] == "headline_workload_stalled"
+    assert rec["value"] == 0.0
+
+
+def test_bench_secondary_failure_degrades_to_partial(monkeypatch, capsys):
+    """A failing secondary workload must not discard the headline: the
+    JSON line carries the measured headline and a partial breakdown."""
+    import bench
+    monkeypatch.setattr(bench, "_wait_out_outage", lambda: True)
+
+    def measure(name, budget):
+        if name != "resnet32":
+            raise RuntimeError("worker exited 1")
+        per_tile = 128 * 128 / 5.5e6
+        return (5.5e6, per_tile, 7.5e9, 3)
+
+    monkeypatch.setattr(bench, "_measure_in_subprocess", measure)
+    bench.main()
+    rec = _bench_json(capsys)
+    assert "error" not in rec
+    assert rec["value"] == 5.5e6
+    assert list(rec["breakdown"]) == ["resnet32"]
+    assert "below_floor" not in rec
+
+
 def test_default_cache_dir_gating(monkeypatch):
     """The per-platform default compilation cache must: respect an env
     override, never touch an explicit non-default config value, key on
