@@ -179,13 +179,19 @@ def _solve_fn(axis: str, n_pad: int, block: int, rows_local: int, nrhs: int,
 class _ShardedFactor:
     """A device-resident sharded Cholesky factor plus its solve program."""
 
-    def __init__(self, mesh: Mesh, n: int, block: int, pad_to: int = 1):
+    def __init__(self, mesh: Mesh, n: int, block: int, pad_to: int = 1,
+                 capacity: Optional[int] = None):
+        """``capacity`` reserves identity-padded rows beyond ``n`` so the
+        factored system can later grow in place via :meth:`extend` (online
+        data addition).  Factorisation cost scales with the padded size —
+        O(n_pad^3), identity rows included — so reserve only what will be
+        used."""
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.n = n
         self.block = block
         n_dev = mesh.devices.size
-        self.n_pad = _pad_size(n, block, n_dev, pad_to)
+        self.n_pad = _pad_size(max(n, capacity or n), block, n_dev, pad_to)
         self.rows_local = self.n_pad // n_dev
         self.l_loc = None
         self.diags = None
@@ -334,6 +340,108 @@ class _ShardedFactor:
                 out_specs=P(), check_vma=False))
         with jax.default_matmul_precision("highest"):
             return self._solvers[key](self.l_loc, self.diags, w_dev)
+
+    def _forward_solve(self, w_dev) -> jax.Array:
+        """``L^-1 W`` for a replicated device ``W`` [n_pad, m] (block
+        forward substitution through the live factor)."""
+        m = w_dev.shape[1]
+        key = ("fwd_full", m)
+        if key not in self._solvers:
+            self._solvers[key] = jax.jit(jax.shard_map(
+                _solve_fn(self.axis, self.n_pad, self.block,
+                          self.rows_local, m, forward_only=True),
+                mesh=self.mesh, in_specs=(P(self.axis, None), P(), P()),
+                out_specs=P(), check_vma=False))
+        with jax.default_matmul_precision("highest"):
+            return self._solvers[key](self.l_loc, self.diags, w_dev)
+
+    def extend(self, b_scaled: np.ndarray, c_scaled: np.ndarray) -> None:
+        """Grow the factored system by ``m`` rows **in place** (online
+        data addition) — O(N^2 m) work instead of the O((N+m)^3/3)
+        refactorisation, with no extra N^2 memory.
+
+        The new rows fill identity-padded capacity the factor already
+        carries (``capacity=`` in the constructor): padding starts at row
+        ``n``, so the extension is contiguous and every existing solve
+        program stays valid (they close over ``n_pad``/``block`` only).
+        For the block factorisation ``M2 = [[M, B^T], [B, C]]``:
+
+        * ``L21 = B L^-T`` — ONE call of the existing block forward-solve
+          program with ``B^T`` as the right-hand side;
+        * ``L22 = chol(C - L21 L21^T)`` — a single replicated [m, m]
+          Cholesky (keep ``m`` per call at ~<=8k; chain ``extend`` calls
+          for more);
+        * the factor rows [n, n+m) are overwritten in place (donated
+          buffer), and only the diagonal blocks covering [n, n+m) are
+          re-sliced from the updated buffer.
+
+        ``b_scaled`` [m, n] and ``c_scaled`` [m, m] must be in the SAME
+        scaled space as the factored matrix (for an equilibrated factor:
+        ``s_new[:, None] * K_new_old * s_old[None, :]`` and
+        ``s_new[:, None] * K_new_new * s_new[None, :]`` — the old
+        scalings stay frozen; any fixed positive scaling preserves SPD).
+        The reference framework has no counterpart: adding data there
+        means recomputing the Gram file and re-running the whole LAPACK
+        solve (reference: exp_mnist_resnet/classify_gp.py:17-27).
+        """
+        if self.l_loc is None:
+            raise RuntimeError("factorize before extend")
+        b_scaled = np.asarray(b_scaled, np.float32)
+        c_scaled = np.asarray(c_scaled, np.float32)
+        m, nb_cols = b_scaled.shape
+        if nb_cols != self.n or c_scaled.shape != (m, m):
+            raise ValueError((b_scaled.shape, c_scaled.shape, self.n))
+        if self.n + m > self.n_pad:
+            raise ValueError(
+                f"extend past capacity: n={self.n} + m={m} > "
+                f"n_pad={self.n_pad}; construct with capacity>={self.n + m}")
+        n0, n_pad, block = self.n, self.n_pad, self.block
+        repl = NamedSharding(self.mesh, P())
+        row = NamedSharding(self.mesh, P(self.axis, None))
+
+        rhs = np.zeros((n_pad, m), np.float32)
+        rhs[:n0] = b_scaled.T
+        # y = L^-1 B^T: zero at the old pad rows (their factor rows are
+        # identity and their rhs is zero), so y^T is exactly L21 extended
+        # with zero columns over the old padding
+        y = self._forward_solve(jax.device_put(rhs, repl))
+
+        axis, rows_local = self.axis, self.rows_local
+
+        def upd(l_loc, y, c):
+            s22 = c - y.T @ y                  # pad rows of y are zero
+            l22 = lax.linalg.cholesky(s22)
+            nr = y.T                           # [m, n_pad] new factor rows
+            nr = lax.dynamic_update_slice(nr, jnp.tril(l22), (0, n0))
+            me = lax.axis_index(axis)
+            grow = me * rows_local + jnp.arange(rows_local)
+            pick = (grow >= n0) & (grow < n0 + m)
+            src = jnp.clip(grow - n0, 0, m - 1)
+            return jnp.where(pick[:, None], nr[src], l_loc)
+
+        upd_j = jax.jit(jax.shard_map(
+            upd, mesh=self.mesh, in_specs=(P(self.axis, None), P(), P()),
+            out_specs=P(self.axis, None), check_vma=False),
+            donate_argnums=0, out_shardings=row)
+        with jax.default_matmul_precision("highest"):
+            self.l_loc = upd_j(self.l_loc, y, jnp.asarray(c_scaled))
+
+        # refresh the replicated diag stack for the block rows the new
+        # data touches (the buffer's diagonal blocks equal lkk exactly --
+        # see _factor_step_fn's kept-entries note)
+        kb0, kb1 = n0 // block, (n0 + m - 1) // block
+
+        def upd_diags(l_glob, diags):
+            for kb in range(kb0, kb1 + 1):     # static unroll
+                blk = lax.dynamic_slice(l_glob, (kb * block, kb * block),
+                                        (block, block))
+                diags = lax.dynamic_update_slice(
+                    diags, jnp.tril(blk)[None], (kb, 0, 0))
+            return diags
+
+        self.diags = jax.jit(upd_diags, donate_argnums=1,
+                             out_shardings=repl)(self.l_loc, self.diags)
+        self.n = n0 + m
 
     def log_diag_sum(self) -> float:
         """``sum(log(diag(L)))`` over the padded factor, in float64 on

@@ -1,0 +1,115 @@
+"""In-place factor extension (`_ShardedFactor.extend`): online data
+addition without refactorisation.
+
+No reference counterpart: adding training data to the reference means
+recomputing the Gram HDF5 and re-running the whole LAPACK solve
+(reference: exp_mnist_resnet/classify_gp.py:17-27); here the live blocked
+factor grows in place at O(N^2 m).
+
+All tests run on the 8-device virtual CPU mesh (conftest).  Systems are
+Jacobi-equilibrated (unit diagonal) like every production caller, so
+float32 factor entries are O(1) and absolute tolerances are meaningful.
+"""
+
+import numpy as np
+import pytest
+
+from cnn_gp_tpu.parallel.chol_dist import _ShardedFactor
+from cnn_gp_tpu.parallel import make_mesh
+
+
+def _spd_equilibrated(n, seed=0):
+    """Random SPD matrix scaled to exactly unit diagonal (float64)."""
+    rng = np.random.RandomState(seed)
+    a = rng.randn(n, n)
+    k = a @ a.T + n * np.eye(n)
+    s = 1.0 / np.sqrt(np.diagonal(k))
+    return k * s[:, None] * s[None, :]
+
+
+def _gather_factor(f):
+    """Host copy of the live factor's leading [n, n] lower triangle."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    lfull = np.asarray(jax.device_put(
+        f.l_loc, NamedSharding(f.mesh, P())))
+    return np.tril(lfull[: f.n, : f.n])
+
+
+@pytest.mark.parametrize("n,m,block", [
+    (40, 12, 16),    # unaligned n and n+m, extension inside one block rgn
+    (37, 19, 16),    # crosses a block boundary mid-extension
+])
+def test_extend_matches_full_factor(n, m, block):
+    mesh = make_mesh()
+    m2 = _spd_equilibrated(n + m, seed=n)
+    f = _ShardedFactor(mesh, n, block, capacity=n + m)
+    f.factorize(m2[:n, :n].astype(np.float32))
+    f.extend(m2[n:, :n], m2[n:, n:])
+    assert f.n == n + m
+
+    want = np.linalg.cholesky(m2)
+    got = _gather_factor(f)
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+    # the refreshed diag stack must match the factor's diagonal blocks
+    # (the solve programs read diags, not the buffer's diagonal)
+    diags = np.asarray(f.diags)
+    for kb in range((n + m - 1) // block + 1):
+        c0 = kb * block
+        hi = min(c0 + block, n + m)
+        np.testing.assert_allclose(
+            np.tril(diags[kb])[: hi - c0, : hi - c0],
+            want[c0:hi, c0:hi] * np.tri(hi - c0), atol=5e-5)
+
+
+def test_extend_solve_with_refinement():
+    """The extended factor drives float32+IR solves to float64 quality,
+    exactly like a from-scratch factor (the production usage pattern)."""
+    n, m, block = 96, 32, 32
+    mesh = make_mesh()
+    m2 = _spd_equilibrated(n + m, seed=3)
+    y = np.random.RandomState(7).randn(n + m, 4)
+
+    f = _ShardedFactor(mesh, n, block, capacity=n + m)
+    f.factorize(m2[:n, :n].astype(np.float32))
+    f.extend(m2[n:, :n], m2[n:, n:])
+
+    a = f.solve(y.astype(np.float32)).astype(np.float64)
+    for _ in range(3):
+        r = y - m2 @ a
+        a = a + f.solve(r.astype(np.float32)).astype(np.float64)
+    rel = np.linalg.norm(y - m2 @ a) / np.linalg.norm(y)
+    assert rel < 1e-10, rel
+    np.testing.assert_allclose(a, np.linalg.solve(m2, y), rtol=1e-8)
+
+
+def test_extend_twice_and_logdet():
+    """Chained extensions stay exact; log_diag_sum tracks the live
+    factor (the evidence path's log-determinant input)."""
+    n, m1, m2_, block = 30, 11, 23, 16
+    mesh = make_mesh()
+    full = _spd_equilibrated(n + m1 + m2_, seed=11)
+
+    f = _ShardedFactor(mesh, n, block, capacity=n + m1 + m2_)
+    f.factorize(full[:n, :n].astype(np.float32))
+    f.extend(full[n:n + m1, :n], full[n:n + m1, n:n + m1])
+    k = n + m1
+    f.extend(full[k:, :k], full[k:, k:])
+
+    want = np.linalg.cholesky(full)
+    np.testing.assert_allclose(_gather_factor(f), want, atol=5e-5)
+
+    want_logdet_half = float(np.sum(np.log(np.diagonal(want))))
+    assert abs(f.log_diag_sum() - want_logdet_half) < 1e-4
+
+
+def test_extend_capacity_refused():
+    mesh = make_mesh()
+    k = _spd_equilibrated(24, seed=5)
+    f = _ShardedFactor(mesh, 24, 8)          # no reserved capacity beyond
+    f.factorize(k.astype(np.float32))        # the n_pad alignment slack
+    spare = f.n_pad - f.n
+    with pytest.raises(ValueError, match="capacity"):
+        f.extend(np.zeros((spare + 1, 24), np.float32),
+                 np.eye(spare + 1, dtype=np.float32))
