@@ -10,3 +10,4 @@ from .solve_dist import cg_solve_sharded  # noqa: F401
 from .chol_dist import (chol_solve_dist, chol_solve_ir32,
                         chol_solve_dist_from_store, cholesky_sharded,
                         cholesky_solve_sharded)  # noqa: F401
+from .incremental import IncrementalGP  # noqa: F401

@@ -1,0 +1,194 @@
+"""Online GP classification: factor once, grow as labelled data arrives.
+
+A TPU-native capability with **no reference counterpart**: adding
+training data to the reference means recomputing the Gram HDF5 from
+scratch and re-running the whole O(N^3) host LAPACK solve (reference:
+exp_mnist_resnet/save_kernel.py:26-36, classify_gp.py:17-27).  Here the
+device-resident blocked factor grows **in place**
+(`chol_dist._ShardedFactor.extend`): each batch of m new points costs
+
+* one [m, N] / [m, m] cross-covariance assembly (the same tile path as
+  ordinary Gram computation),
+* one m-wide block forward solve + an [m, m] Cholesky on the mesh
+  (O(N^2 m) — not O((N+m)^3/3)),
+* one factor solve + float64 iterative refinement for the posterior,
+
+and the GP log evidence is re-read from the live factor's diagonal, so
+model monitoring is free at every step.
+
+Host-memory envelope: the raw float32 Gram is retained on host for the
+refinement matvec (same footprint class as `chol_solve_ir32` and the
+reference's own classify), so this module targets the regime where an
+[N, N] float32 fits on host; the factor itself is row-sharded on the
+mesh.  For the nothing-O(N^2)-on-host regime use
+`classify_device_large`, which trades incrementality for regeneration.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..ops import solve as solve_ops
+from .chol_dist import _ShardedFactor
+from .gram import gram_in_memory
+from .mesh import make_mesh
+
+__all__ = ["IncrementalGP"]
+
+
+class IncrementalGP:
+    """Streaming GP classifier over a growing training set.
+
+    ``capacity`` bounds the total training points the factor can grow to
+    (reserved as identity-padded rows; factorisation cost scales with
+    the padded size, so reserve what will plausibly be used).  ``jitter``
+    is relative to the FIRST batch's mean Gram diagonal and stays frozen
+    — the same convention as ``classify_device_large``.
+    """
+
+    def __init__(self, model, capacity: int, batch_size: int = 128,
+                 block: int = 256, jitter: float = 0.0, mesh=None,
+                 refine_iters: int = 10, tol: float = 1e-10):
+        self.model = model
+        self.capacity = int(capacity)
+        self.batch_size = batch_size
+        self.block = block
+        self.jitter = jitter
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.refine_iters = refine_iters
+        self.tol = tol
+        self._x = None                    # [n, C, H, W] float32
+        self._labels = None
+        self._k32 = None                  # raw float32 Gram (host)
+        self._s = None                    # float64 equilibration scalings
+        self._jitter_raw = None
+        self._factor: Optional[_ShardedFactor] = None
+        self._alpha = None                # float64 posterior weights
+        self.rel_residual = None
+        self.refinements = None
+
+    @property
+    def n(self) -> int:
+        return 0 if self._x is None else len(self._x)
+
+    def add(self, x, labels) -> dict:
+        """Ingest a batch of labelled examples and refresh the posterior.
+
+        Returns ``{"n", "rel_residual", "refinements", "log_evidence"}``.
+        """
+        x = np.asarray(x, np.float32)
+        labels = np.asarray(labels)
+        assert len(x) == len(labels) and len(x) > 0
+        if self._factor is None:
+            self._first_fit(x, labels)
+        else:
+            self._extend(x, labels)
+        self._resolve()
+        return {"n": self.n, "rel_residual": self.rel_residual,
+                "refinements": self.refinements,
+                "log_evidence": self.log_evidence()}
+
+    def _first_fit(self, x, labels):
+        n = len(x)
+        if n > self.capacity:
+            raise ValueError(f"first batch {n} exceeds capacity "
+                             f"{self.capacity}")
+        k32 = gram_in_memory(self.model, x, batch_size=self.batch_size)
+        d64 = np.ascontiguousarray(np.diagonal(k32)).astype(np.float64)
+        self._jitter_raw = self.jitter * float(np.mean(d64))
+        s = 1.0 / np.sqrt(d64 + self._jitter_raw)
+        f = _ShardedFactor(self.mesh, n, self.block,
+                           capacity=self.capacity)
+        # scaling with s from diag+jitter and the pinned unit diagonal IS
+        # the equilibrated K + jitter_raw I (jitter is diagonal-only)
+        f.factorize_scaled(k32, s.astype(np.float32))
+        self._x, self._labels, self._k32 = x, labels, k32
+        self._s, self._factor = s, f
+
+    def _extend(self, x, labels):
+        n, m = self.n, len(x)
+        b_raw = gram_in_memory(self.model, x, self._x,
+                               batch_size=self.batch_size)   # [m, n]
+        c_raw = gram_in_memory(self.model, x,
+                               batch_size=self.batch_size)   # [m, m]
+        d_new = (np.ascontiguousarray(np.diagonal(c_raw)).astype(np.float64)
+                 + self._jitter_raw)
+        s_new = 1.0 / np.sqrt(d_new)
+        b_s = (s_new[:, None] * b_raw.astype(np.float64)
+               * self._s[None, :]).astype(np.float32)
+        c_s = (s_new[:, None] * (c_raw.astype(np.float64)
+                                 + self._jitter_raw * np.eye(m))
+               * s_new[None, :])
+        np.fill_diagonal(c_s, 1.0)        # exact unit diagonal
+        self._factor.extend(b_s, c_s.astype(np.float32))
+
+        k2 = np.empty((n + m, n + m), np.float32)
+        k2[:n, :n] = self._k32
+        k2[n:, :n] = b_raw
+        k2[:n, n:] = b_raw.T
+        k2[n:, n:] = c_raw
+        self._k32 = k2
+        self._x = np.concatenate([self._x, x])
+        self._labels = np.concatenate([self._labels, labels])
+        self._s = np.concatenate([self._s, s_new])
+
+    def _resolve(self):
+        """Posterior weights by float32 factor solve + float64 IR (the
+        chol_solve_ir32 pattern: blocked float64-upcast residuals against
+        the raw float32 Gram, scaled-space correction solves)."""
+        n, s = self.n, self._s
+        y64 = solve_ops.one_hot_targets(self._labels)
+        y_norm = np.linalg.norm(y64, axis=0)
+        y_norm[y_norm == 0] = 1.0
+
+        def residual(a):
+            r = np.empty_like(y64)
+            for i0 in range(0, n, 8192):
+                i1 = min(i0 + 8192, n)
+                r[i0:i1] = y64[i0:i1] - self._k32[i0:i1].astype(
+                    np.float64) @ a
+            if self._jitter_raw:
+                r -= self._jitter_raw * a
+            return r, float(np.max(np.linalg.norm(r, axis=0) / y_norm))
+
+        def precond(r64):
+            return s[:, None] * self._factor.solve(
+                (s[:, None] * r64).astype(np.float32)).astype(np.float64)
+
+        a = precond(y64)
+        r, rel = residual(a)
+        best_a, best_rel = a, rel
+        iters = 0
+        while iters < self.refine_iters and best_rel > self.tol:
+            iters += 1
+            a = a + precond(r)
+            r, rel = residual(a)
+            if rel < best_rel:
+                best_a, best_rel = a, rel
+            elif rel > 0.9 * best_rel:
+                break
+        self._alpha, self.rel_residual, self.refinements = (
+            best_a, best_rel, iters)
+
+    def log_evidence(self) -> float:
+        """GP log marginal likelihood of the current training set, read
+        from the live factor (float64 oracle:
+        ``ops.solve.log_marginal_likelihood``)."""
+        logdet = (2.0 * self._factor.log_diag_sum()
+                  - 2.0 * float(np.sum(np.log(self._s))))
+        y64 = solve_ops.one_hot_targets(self._labels)
+        n_cls = y64.shape[1]
+        return (-0.5 * float(np.sum(y64 * self._alpha))
+                - 0.5 * n_cls * logdet
+                - 0.5 * self.n * n_cls * np.log(2.0 * np.pi))
+
+    def scores(self, x) -> np.ndarray:
+        """Posterior mean scores ``K(x, X_train) @ alpha`` per class."""
+        kzx = gram_in_memory(self.model, np.asarray(x, np.float32),
+                             self._x, batch_size=self.batch_size)
+        return kzx.astype(np.float64) @ self._alpha
+
+    def classify(self, x) -> np.ndarray:
+        return np.argmax(self.scores(x), axis=1)

@@ -1,0 +1,94 @@
+"""IncrementalGP: online classification equals the from-scratch oracle.
+
+The capability under test (no reference counterpart — the reference
+recomputes the Gram file and re-runs the full LAPACK solve to add data):
+after every `add`, the posterior, predictions, and evidence must match a
+float64 from-scratch solve over the union of all data seen so far.
+"""
+
+import numpy as np
+import pytest
+
+from cnn_gp_tpu import Conv2d, ReLU, Sequential
+from cnn_gp_tpu.ops import solve as solve_ops
+from cnn_gp_tpu.parallel import IncrementalGP, gram_in_memory
+
+
+@pytest.fixture(scope="module")
+def model():
+    # small but real NNGP (O(1)-scale values on 8x8 inputs)
+    return Sequential(Conv2d(3), ReLU(), Conv2d(3), ReLU(),
+                      Conv2d(8, padding=0))
+
+
+def _data(n, seed):
+    rng = np.random.RandomState(seed)
+    x = rng.rand(n, 1, 8, 8).astype(np.float32)
+    labels = rng.randint(0, 4, size=n)
+    return x, labels
+
+
+def test_incremental_matches_from_scratch(model):
+    xs, ys = zip(*[_data(n, seed) for n, seed in ((48, 0), (20, 1), (33, 2))])
+    zx, _ = _data(16, 9)
+
+    gp = IncrementalGP(model, capacity=128, batch_size=16, block=16,
+                       jitter=1e-6)
+    for step in range(3):
+        info = gp.add(xs[step], ys[step])
+        x_all = np.concatenate(xs[: step + 1])
+        y_all = np.concatenate(ys[: step + 1])
+        assert info["n"] == len(x_all)
+        assert info["rel_residual"] < 1e-10, info
+
+        # float64 from-scratch oracle on everything seen so far, with the
+        # class's frozen raw jitter (relative to the FIRST batch's mean
+        # diagonal) applied explicitly so both solve the same system
+        kxx = np.asarray(gram_in_memory(model, x_all, batch_size=16),
+                         np.float64)
+        solve_ops.diag_add(kxx, gp._jitter_raw)
+        t = solve_ops.one_hot_targets(y_all)
+        a_ref = solve_ops.solve_gp(kxx.copy(), t, method="scipy")
+        # residual 1e-10 maps to solution error ~cond * 1e-10 (measured
+        # ~2e-6 of solution scale here); near-zero entries make
+        # per-element rtol meaningless, so compare on the solution scale;
+        # identical argmax predictions are asserted exactly below
+        err = np.max(np.abs(gp._alpha - a_ref)) / np.max(np.abs(a_ref))
+        assert err < 1e-5, err
+
+        ev_ref = solve_ops.log_marginal_likelihood(kxx, t)
+        assert abs(info["log_evidence"] - ev_ref) < 1e-3 * abs(ev_ref)
+
+        kzx = np.asarray(gram_in_memory(model, zx, x_all, batch_size=16),
+                         np.float64)
+        np.testing.assert_array_equal(gp.classify(zx),
+                                      np.argmax(kzx @ a_ref, axis=1))
+
+
+def test_capacity_enforced(model):
+    x, y = _data(30, 3)
+    gp = IncrementalGP(model, capacity=20, batch_size=16, block=16)
+    with pytest.raises(ValueError, match="capacity"):
+        gp.add(x, y)
+
+    gp = IncrementalGP(model, capacity=40, batch_size=16, block=16)
+    gp.add(x, y)
+    with pytest.raises(ValueError, match="capacity"):
+        gp.add(*_data(30, 4))    # 30 + 30 > padded capacity
+
+
+def test_evidence_tracks_oracle_without_jitter(model):
+    """jitter=0 path (no relative-jitter scaling): evidence and residual
+    still match the oracle after an extension."""
+    x1, y1 = _data(40, 5)
+    x2, y2 = _data(24, 6)
+    gp = IncrementalGP(model, capacity=64, batch_size=16, block=16)
+    gp.add(x1, y1)
+    info = gp.add(x2, y2)
+    x_all, y_all = np.concatenate([x1, x2]), np.concatenate([y1, y2])
+    kxx = np.asarray(gram_in_memory(model, x_all, batch_size=16),
+                     np.float64)
+    t = solve_ops.one_hot_targets(y_all)
+    ev_ref = solve_ops.log_marginal_likelihood(kxx, t)
+    assert abs(info["log_evidence"] - ev_ref) < 1e-3 * abs(ev_ref)
+    assert info["rel_residual"] < 1e-10
