@@ -32,7 +32,7 @@ import numpy as np
 
 from ..ops import solve as solve_ops
 from .chol_dist import _ShardedFactor
-from .gram import gram_in_memory
+from .gram import compute_gram_diag, gram_in_memory
 from .mesh import make_mesh
 
 __all__ = ["IncrementalGP"]
@@ -192,3 +192,24 @@ class IncrementalGP:
 
     def classify(self, x) -> np.ndarray:
         return np.argmax(self.scores(x), axis=1)
+
+    def variances(self, x) -> np.ndarray:
+        """GP posterior variances ``k_zz - k_zx (K + jr I)^-1 k_xz``
+        through the live factor: whitened cross-covariance columns by
+        block forward substitution (the device_large recipe), valid
+        across extensions because the factor is always the factor of the
+        full current system.  Float32 accumulation floor ~eps32 * k_zz;
+        float64 oracle: ``ops.solve.predictive_variance``."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        x = np.asarray(x, np.float32)
+        kzx = gram_in_memory(self.model, x, self._x,
+                             batch_size=self.batch_size)
+        kzz = compute_gram_diag(self.model, x, batch_size=self.batch_size,
+                                progress=False).astype(np.float64)
+        w = np.zeros((self._factor.n_pad, len(x)), np.float32)
+        w[: self.n] = self._s[:, None] * kzx.T.astype(np.float64)
+        sumsq = np.asarray(self._factor.forward_sumsq(
+            jax.device_put(w, NamedSharding(self.mesh, P()))), np.float64)
+        return np.maximum(kzz - sumsq, 0.0)

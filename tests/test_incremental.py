@@ -65,6 +65,32 @@ def test_incremental_matches_from_scratch(model):
                                       np.argmax(kzx @ a_ref, axis=1))
 
 
+def test_variances_match_oracle(model):
+    """Posterior variances through the extended live factor equal the
+    float64 oracle (same raw jitter applied to both)."""
+    x1, y1 = _data(40, 12)
+    x2, y2 = _data(24, 13)
+    z, _ = _data(10, 14)
+    gp = IncrementalGP(model, capacity=64, batch_size=16, block=16,
+                       jitter=1e-6)
+    gp.add(x1, y1)
+    gp.add(x2, y2)
+    got = gp.variances(z)
+
+    x_all = np.concatenate([x1, x2])
+    kxx = np.asarray(gram_in_memory(model, x_all, batch_size=16),
+                     np.float64)
+    kzx = np.asarray(gram_in_memory(model, z, x_all, batch_size=16),
+                     np.float64)
+    kzz = np.diagonal(np.asarray(
+        gram_in_memory(model, z, batch_size=16), np.float64)).copy()
+    want = solve_ops.predictive_variance(kxx, kzx, kzz,
+                                         jitter=gp._jitter_raw)
+    scale = float(np.mean(np.diagonal(kxx)))
+    assert np.max(np.abs(got - want)) < 1e-5 * scale
+    assert (got >= 0).all()
+
+
 def test_capacity_enforced(model):
     x, y = _data(30, 3)
     gp = IncrementalGP(model, capacity=20, batch_size=16, block=16)
