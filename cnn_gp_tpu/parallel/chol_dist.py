@@ -64,6 +64,56 @@ def _pad_size(n: int, block: int, n_dev: int, pad_to: int = 1) -> int:
     return int(-(-n // step) * step)
 
 
+# tiny fetch helper: only the [m] diagonal of a small device matrix
+# crosses the host link (used by the extend() SPD gate)
+_diag_j = jax.jit(lambda a: jnp.diagonal(a))
+
+
+def _blocked_residual_fn(k, y64: np.ndarray, jitter: float,
+                         io_rows: int = 8192):
+    """Residual closure ``a -> (Y - (K + jitter I) a, max rel norm)`` with
+    the float64 upcast done in bounded row blocks (never a second
+    whole-matrix host copy).  ``k`` is the [n, n] host matrix (float32 or
+    float64; views are fine — each block is copied by the upcast)."""
+    n = k.shape[0]
+    y_norm = np.linalg.norm(y64, axis=0)
+    y_norm[y_norm == 0] = 1.0
+
+    def residual(a):
+        r = np.empty_like(y64)
+        for i0 in range(0, n, io_rows):
+            i1 = min(i0 + io_rows, n)
+            r[i0:i1] = y64[i0:i1] - k[i0:i1].astype(np.float64) @ a
+        if jitter:
+            r -= jitter * a
+        return r, float(np.max(np.linalg.norm(r, axis=0) / y_norm))
+
+    return residual
+
+
+def _ir_solve(precond, residual, y64: np.ndarray, refine_iters: int,
+              tol: float):
+    """Float64 iterative refinement against a float32 factor: ``precond``
+    maps a float64 residual to a correction (one factor solve), ``residual``
+    is a `_blocked_residual_fn`-style closure.  Keeps the best iterate and
+    stops on ``tol`` or stagnation (shared by `chol_solve_dist`,
+    `chol_solve_ir32`, and `IncrementalGP`).  Returns
+    ``(best_a, best_rel, iters)``."""
+    a = precond(y64)
+    r, rel = residual(a)
+    best_a, best_rel = a, rel
+    iters = 0
+    while iters < refine_iters and best_rel > tol:
+        iters += 1
+        a = a + precond(r)
+        r, rel = residual(a)
+        if rel < best_rel:
+            best_a, best_rel = a, rel
+        elif rel > 0.9 * best_rel:           # stagnated; keep best iterate
+            break
+    return best_a, best_rel, iters
+
+
 def _factor_step_fn(axis: str, n_pad: int, block: int, rows_local: int):
     """One block step of the right-looking factorisation, as its own
     program.  The host drives the ``nb`` steps in a Python loop, donating
@@ -355,6 +405,59 @@ class _ShardedFactor:
         with jax.default_matmul_precision("highest"):
             return self._solvers[key](self.l_loc, self.diags, w_dev)
 
+    def _extend_programs(self, m: int):
+        """Compiled programs for :meth:`extend`, cached per extension
+        width ``m`` — the insertion offset ``n0`` is a traced scalar, so
+        streaming callers (`IncrementalGP.add` once per arriving batch)
+        pay ONE compile per batch width, not one per call."""
+        key = ("extend", m)
+        if key not in self._solvers:
+            axis, rows_local = self.axis, self.rows_local
+            row = NamedSharding(self.mesh, P(self.axis, None))
+
+            @jax.jit
+            def schur_chol(y, c):
+                # pad rows of y are zero, so y^T y sums real rows only
+                return lax.linalg.cholesky(c - y.T @ y)
+
+            def upd(l_loc, y, l22, n0):
+                nr = y.T                   # [m, n_pad] new factor rows
+                nr = lax.dynamic_update_slice(nr, jnp.tril(l22), (0, n0))
+                me = lax.axis_index(axis)
+                grow = me * rows_local + jnp.arange(rows_local)
+                pick = (grow >= n0) & (grow < n0 + m)
+                src = jnp.clip(grow - n0, 0, m - 1)
+                return jnp.where(pick[:, None], nr[src], l_loc)
+
+            upd_j = jax.jit(jax.shard_map(
+                upd, mesh=self.mesh,
+                in_specs=(P(self.axis, None), P(), P(), P()),
+                out_specs=P(self.axis, None), check_vma=False),
+                donate_argnums=0, out_shardings=row)
+            self._solvers[key] = (schur_chol, upd_j)
+        return self._solvers[key]
+
+    def _extend_diags_program(self, nblk: int):
+        """Refresh ``nblk`` consecutive diag-stack blocks from the live
+        buffer; cached per ``nblk`` with the first block index traced."""
+        key = ("extend_diags", nblk)
+        if key not in self._solvers:
+            block = self.block
+            repl = NamedSharding(self.mesh, P())
+
+            def upd_diags(l_glob, diags, kb0):
+                def body(i, diags):
+                    kb = kb0 + i
+                    blk = lax.dynamic_slice(
+                        l_glob, (kb * block, kb * block), (block, block))
+                    return lax.dynamic_update_slice(
+                        diags, jnp.tril(blk)[None], (kb, 0, 0))
+                return lax.fori_loop(0, nblk, body, diags)
+
+            self._solvers[key] = jax.jit(upd_diags, donate_argnums=1,
+                                         out_shardings=repl)
+        return self._solvers[key]
+
     def extend(self, b_scaled: np.ndarray, c_scaled: np.ndarray) -> None:
         """Grow the factored system by ``m`` rows **in place** (online
         data addition) — O(N^2 m) work instead of the O((N+m)^3/3)
@@ -397,7 +500,6 @@ class _ShardedFactor:
                 f"n_pad={self.n_pad}; construct with capacity>={self.n + m}")
         n0, n_pad, block = self.n, self.n_pad, self.block
         repl = NamedSharding(self.mesh, P())
-        row = NamedSharding(self.mesh, P(self.axis, None))
 
         rhs = np.zeros((n_pad, m), np.float32)
         rhs[:n0] = b_scaled.T
@@ -406,41 +508,30 @@ class _ShardedFactor:
         # with zero columns over the old padding
         y = self._forward_solve(jax.device_put(rhs, repl))
 
-        axis, rows_local = self.axis, self.rows_local
-
-        def upd(l_loc, y, c):
-            s22 = c - y.T @ y                  # pad rows of y are zero
-            l22 = lax.linalg.cholesky(s22)
-            nr = y.T                           # [m, n_pad] new factor rows
-            nr = lax.dynamic_update_slice(nr, jnp.tril(l22), (0, n0))
-            me = lax.axis_index(axis)
-            grow = me * rows_local + jnp.arange(rows_local)
-            pick = (grow >= n0) & (grow < n0 + m)
-            src = jnp.clip(grow - n0, 0, m - 1)
-            return jnp.where(pick[:, None], nr[src], l_loc)
-
-        upd_j = jax.jit(jax.shard_map(
-            upd, mesh=self.mesh, in_specs=(P(self.axis, None), P(), P()),
-            out_specs=P(self.axis, None), check_vma=False),
-            donate_argnums=0, out_shardings=row)
+        schur_chol, upd_j = self._extend_programs(m)
         with jax.default_matmul_precision("highest"):
-            self.l_loc = upd_j(self.l_loc, y, jnp.asarray(c_scaled))
+            l22 = schur_chol(y, jnp.asarray(c_scaled))
+        # SPD gate BEFORE the donated in-place write: a non-PD Schur
+        # complement (duplicate/near-duplicate points, zero jitter) makes
+        # lax.linalg.cholesky return NaNs silently, and committing them
+        # would irreversibly corrupt the live factor.  Only the [m]
+        # diagonal crosses the link.
+        d = np.asarray(_diag_j(l22))
+        if not np.all(np.isfinite(d)) or np.any(d <= 0.0):
+            raise ValueError(
+                "extend: the Schur complement of the new rows is not "
+                "positive-definite in float32 (duplicate or near-duplicate "
+                "training points, or zero jitter?); the live factor is "
+                "unchanged")
+        with jax.default_matmul_precision("highest"):
+            self.l_loc = upd_j(self.l_loc, y, l22, np.int32(n0))
 
         # refresh the replicated diag stack for the block rows the new
         # data touches (the buffer's diagonal blocks equal lkk exactly --
         # see _factor_step_fn's kept-entries note)
         kb0, kb1 = n0 // block, (n0 + m - 1) // block
-
-        def upd_diags(l_glob, diags):
-            for kb in range(kb0, kb1 + 1):     # static unroll
-                blk = lax.dynamic_slice(l_glob, (kb * block, kb * block),
-                                        (block, block))
-                diags = lax.dynamic_update_slice(
-                    diags, jnp.tril(blk)[None], (kb, 0, 0))
-            return diags
-
-        self.diags = jax.jit(upd_diags, donate_argnums=1,
-                             out_shardings=repl)(self.l_loc, self.diags)
+        diags_j = self._extend_diags_program(kb1 - kb0 + 1)
+        self.diags = diags_j(self.l_loc, self.diags, np.int32(kb0))
         self.n = n0 + m
 
     def log_diag_sum(self) -> float:
@@ -547,25 +638,14 @@ def chol_solve_dist(kxx: np.ndarray, y: np.ndarray, jitter: float = 0.0,
     else:
         factor.factorize(kxx.astype(np.float32))
 
-    y_norm = np.linalg.norm(ys, axis=0)
-    y_norm[y_norm == 0] = 1.0
+    # jitter is already folded into kxx's diagonal (scaled space)
+    residual = _blocked_residual_fn(kxx, ys, 0.0)
 
-    def residual(a):
-        r = ys - kxx @ a                     # float64 residual on host
-        return r, float(np.max(np.linalg.norm(r, axis=0) / y_norm))
+    def precond(r64):
+        return factor.solve(r64.astype(np.float32)).astype(np.float64)
 
-    a = factor.solve(ys.astype(np.float32)).astype(np.float64)
-    r, rel = residual(a)
-    best_a, best_rel = a, rel
-    iters = 0
-    while iters < refine_iters and best_rel > tol:
-        iters += 1
-        a = a + factor.solve(r.astype(np.float32)).astype(np.float64)
-        r, rel = residual(a)
-        if rel < best_rel:
-            best_a, best_rel = a, rel
-        elif rel > 0.9 * best_rel:           # stagnated; keep best iterate
-            break
+    best_a, best_rel, iters = _ir_solve(precond, residual, ys,
+                                        refine_iters, tol)
     return s[:, None] * best_a, best_rel, iters
 
 
@@ -601,35 +681,13 @@ def chol_solve_ir32(k32: np.ndarray, y: np.ndarray, jitter: float = 0.0,
     else:
         factor.factorize_scaled(k32, s32)
 
-    y_norm = np.linalg.norm(y64, axis=0)
-    y_norm[y_norm == 0] = 1.0
-
-    def residual(a):                          # blocked float64 upcast
-        r = np.empty_like(y64)
-        for i0 in range(0, n, io_rows):
-            i1 = min(i0 + io_rows, n)
-            r[i0:i1] = y64[i0:i1] - k32[i0:i1].astype(np.float64) @ a
-        if jitter:
-            r -= jitter * a
-        return r, float(np.max(np.linalg.norm(r, axis=0) / y_norm))
+    residual = _blocked_residual_fn(k32, y64, jitter, io_rows=io_rows)
 
     def precond(r64):                         # scaled-space correction
         return s[:, None] * factor.solve(
             (s[:, None] * r64).astype(np.float32)).astype(np.float64)
 
-    a = precond(y64)
-    r, rel = residual(a)
-    best_a, best_rel = a, rel
-    iters = 0
-    while iters < refine_iters and best_rel > tol:
-        iters += 1
-        a = a + precond(r)
-        r, rel = residual(a)
-        if rel < best_rel:
-            best_a, best_rel = a, rel
-        elif rel > 0.9 * best_rel:
-            break
-    return best_a, best_rel, iters
+    return _ir_solve(precond, residual, y64, refine_iters, tol)
 
 
 def chol_solve_dist_from_store(store, name: str, y: np.ndarray,

@@ -18,9 +18,12 @@ model monitoring is free at every step.
 
 Host-memory envelope: the raw float32 Gram is retained on host for the
 refinement matvec (same footprint class as `chol_solve_ir32` and the
-reference's own classify), so this module targets the regime where an
-[N, N] float32 fits on host; the factor itself is row-sharded on the
-mesh.  For the nothing-O(N^2)-on-host regime use
+reference's own classify), so this module targets the regime where a
+[capacity, capacity] float32 fits on host.  The buffer is allocated ONCE
+at construction (np.zeros is lazily paged, so resident size grows with
+the data actually ingested) and extensions write new rows/columns in
+place — no per-add reallocation or O(N^2) copy.  The factor itself is
+row-sharded on the mesh.  For the nothing-O(N^2)-on-host regime use
 `classify_device_large`, which trades incrementality for regeneration.
 """
 
@@ -31,7 +34,8 @@ from typing import Optional
 import numpy as np
 
 from ..ops import solve as solve_ops
-from .chol_dist import _ShardedFactor
+from .chol_dist import (_ShardedFactor, _blocked_residual_fn, _chunk_starts,
+                        _ir_solve)
 from .gram import compute_gram_diag, gram_in_memory
 from .mesh import make_mesh
 
@@ -61,7 +65,10 @@ class IncrementalGP:
         self.tol = tol
         self._x = None                    # [n, C, H, W] float32
         self._labels = None
-        self._k32 = None                  # raw float32 Gram (host)
+        # raw float32 Gram, preallocated at full capacity (lazily paged:
+        # resident memory grows with ingested data, and extensions never
+        # reallocate or copy the old [n, n] block)
+        self._k32 = np.zeros((self.capacity, self.capacity), np.float32)
         self._s = None                    # float64 equilibration scalings
         self._jitter_raw = None
         self._factor: Optional[_ShardedFactor] = None
@@ -104,11 +111,15 @@ class IncrementalGP:
         # scaling with s from diag+jitter and the pinned unit diagonal IS
         # the equilibrated K + jitter_raw I (jitter is diagonal-only)
         f.factorize_scaled(k32, s.astype(np.float32))
-        self._x, self._labels, self._k32 = x, labels, k32
+        self._k32[:n, :n] = k32
+        self._x, self._labels = x, labels
         self._s, self._factor = s, f
 
     def _extend(self, x, labels):
         n, m = self.n, len(x)
+        if n + m > self.capacity:
+            raise ValueError(f"add past capacity: n={n} + m={m} > "
+                             f"capacity={self.capacity}")
         b_raw = gram_in_memory(self.model, x, self._x,
                                batch_size=self.batch_size)   # [m, n]
         c_raw = gram_in_memory(self.model, x,
@@ -122,60 +133,38 @@ class IncrementalGP:
                                  + self._jitter_raw * np.eye(m))
                * s_new[None, :])
         np.fill_diagonal(c_s, 1.0)        # exact unit diagonal
+        # extend the factor FIRST: it raises (factor untouched) on a
+        # non-PD extension, and then no host state has changed either
         self._factor.extend(b_s, c_s.astype(np.float32))
 
-        k2 = np.empty((n + m, n + m), np.float32)
-        k2[:n, :n] = self._k32
-        k2[n:, :n] = b_raw
-        k2[:n, n:] = b_raw.T
-        k2[n:, n:] = c_raw
-        self._k32 = k2
+        self._k32[n:n + m, :n] = b_raw
+        self._k32[:n, n:n + m] = b_raw.T
+        self._k32[n:n + m, n:n + m] = c_raw
         self._x = np.concatenate([self._x, x])
         self._labels = np.concatenate([self._labels, labels])
         self._s = np.concatenate([self._s, s_new])
 
     def _resolve(self):
         """Posterior weights by float32 factor solve + float64 IR (the
-        chol_solve_ir32 pattern: blocked float64-upcast residuals against
-        the raw float32 Gram, scaled-space correction solves)."""
+        `chol_solve_ir32` machinery: blocked float64-upcast residuals
+        against the raw float32 Gram, scaled-space correction solves)."""
         n, s = self.n, self._s
         y64 = solve_ops.one_hot_targets(self._labels)
-        y_norm = np.linalg.norm(y64, axis=0)
-        y_norm[y_norm == 0] = 1.0
-
-        def residual(a):
-            r = np.empty_like(y64)
-            for i0 in range(0, n, 8192):
-                i1 = min(i0 + 8192, n)
-                r[i0:i1] = y64[i0:i1] - self._k32[i0:i1].astype(
-                    np.float64) @ a
-            if self._jitter_raw:
-                r -= self._jitter_raw * a
-            return r, float(np.max(np.linalg.norm(r, axis=0) / y_norm))
+        residual = _blocked_residual_fn(self._k32[:n, :n], y64,
+                                        self._jitter_raw)
 
         def precond(r64):
             return s[:, None] * self._factor.solve(
                 (s[:, None] * r64).astype(np.float32)).astype(np.float64)
 
-        a = precond(y64)
-        r, rel = residual(a)
-        best_a, best_rel = a, rel
-        iters = 0
-        while iters < self.refine_iters and best_rel > self.tol:
-            iters += 1
-            a = a + precond(r)
-            r, rel = residual(a)
-            if rel < best_rel:
-                best_a, best_rel = a, rel
-            elif rel > 0.9 * best_rel:
-                break
-        self._alpha, self.rel_residual, self.refinements = (
-            best_a, best_rel, iters)
+        self._alpha, self.rel_residual, self.refinements = _ir_solve(
+            precond, residual, y64, self.refine_iters, self.tol)
 
     def log_evidence(self) -> float:
         """GP log marginal likelihood of the current training set, read
         from the live factor (float64 oracle:
         ``ops.solve.log_marginal_likelihood``)."""
+        self._require_data()
         logdet = (2.0 * self._factor.log_diag_sum()
                   - 2.0 * float(np.sum(np.log(self._s))))
         y64 = solve_ops.one_hot_targets(self._labels)
@@ -184,8 +173,13 @@ class IncrementalGP:
                 - 0.5 * n_cls * logdet
                 - 0.5 * self.n * n_cls * np.log(2.0 * np.pi))
 
+    def _require_data(self):
+        if self._alpha is None:
+            raise RuntimeError("add() labelled data before predicting")
+
     def scores(self, x) -> np.ndarray:
         """Posterior mean scores ``K(x, X_train) @ alpha`` per class."""
+        self._require_data()
         kzx = gram_in_memory(self.model, np.asarray(x, np.float32),
                              self._x, batch_size=self.batch_size)
         return kzx.astype(np.float64) @ self._alpha
@@ -193,23 +187,34 @@ class IncrementalGP:
     def classify(self, x) -> np.ndarray:
         return np.argmax(self.scores(x), axis=1)
 
-    def variances(self, x) -> np.ndarray:
+    def variances(self, x, chunk: int = 512) -> np.ndarray:
         """GP posterior variances ``k_zz - k_zx (K + jr I)^-1 k_xz``
         through the live factor: whitened cross-covariance columns by
-        block forward substitution (the device_large recipe), valid
-        across extensions because the factor is always the factor of the
-        full current system.  Float32 accumulation floor ~eps32 * k_zz;
-        float64 oracle: ``ops.solve.predictive_variance``."""
+        block forward substitution, in bounded ``chunk``-column dispatches
+        (one compiled program shape; the slid-back tail chunk makes the
+        overlapping rewrite idempotent) — the `device_large` recipe, NOT
+        one monolithic [n_pad, n_test] program (CLAUDE.md bounded-program
+        rules).  Valid across extensions because the factor is always the
+        factor of the full current system.  Float32 accumulation floor
+        ~eps32 * k_zz; float64 oracle: ``ops.solve.predictive_variance``."""
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        self._require_data()
         x = np.asarray(x, np.float32)
+        nz = len(x)
         kzx = gram_in_memory(self.model, x, self._x,
                              batch_size=self.batch_size)
         kzz = compute_gram_diag(self.model, x, batch_size=self.batch_size,
                                 progress=False).astype(np.float64)
-        w = np.zeros((self._factor.n_pad, len(x)), np.float32)
-        w[: self.n] = self._s[:, None] * kzx.T.astype(np.float64)
-        sumsq = np.asarray(self._factor.forward_sumsq(
-            jax.device_put(w, NamedSharding(self.mesh, P()))), np.float64)
-        return np.maximum(kzz - sumsq, 0.0)
+        cb = min(chunk, nz)
+        repl = NamedSharding(self.mesh, P())
+        w = np.zeros((self._factor.n_pad, cb), np.float32)
+        out = np.empty(nz, np.float64)
+        for c0 in _chunk_starts(nz, cb):
+            w[: self.n] = self._s[:, None] * kzx[c0:c0 + cb].T.astype(
+                np.float64)
+            sumsq = np.asarray(self._factor.forward_sumsq(
+                jax.device_put(w, repl)), np.float64)
+            out[c0:c0 + cb] = kzz[c0:c0 + cb] - sumsq
+        return np.maximum(out, 0.0)

@@ -3,8 +3,9 @@
 Protocol (real chip, 1-device mesh): generate an equilibrated-like SPD
 matrix of size n+m on device, factor the leading n x n block with
 reserved capacity, extend by m rows (`_ShardedFactor.extend`), and
-compare the wall against refactorising the full n+m system; verify both
-factors drive solves to the same float64-refined solution.  FLOPs:
+compare the wall against refactorising the full n+m system; verify the
+two factors' float32 solves of the same system agree (asserted, not just
+printed — a numerically broken extension aborts the run).  FLOPs:
 extension is ~n_pad^2 m (one m-wide block forward solve + trailing
 Schur) vs (n+m)^3/3 for the refactor, so the win grows as m/N shrinks.
 
@@ -80,6 +81,9 @@ def main(_):
     a_ext = f.solve(rhs.astype(np.float32))
     rel = (np.linalg.norm(a_ext - a_full)
            / max(np.linalg.norm(a_full), 1e-30))
+    # gate, don't just report: a corrupted extension (e.g. a NaN factor)
+    # must abort the benchmark, not print rel=nan and exit 0
+    assert np.isfinite(rel) and rel < 1e-3, f"solve agreement broke: {rel}"
     print(f"n={n} m={m} block={block} "
           f"refactor(n+m)={t_refactor:.2f}s factor(n,cap)={t_factor_n:.2f}s "
           f"extend={t_extend:.2f}s speedup_vs_refactor="

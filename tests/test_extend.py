@@ -104,6 +104,51 @@ def test_extend_twice_and_logdet():
     assert abs(f.log_diag_sum() - want_logdet_half) < 1e-4
 
 
+def test_extend_non_pd_refused_factor_intact():
+    """A non-PD extension (duplicate rows make the Schur complement
+    singular) must raise BEFORE the donated in-place write — the live
+    factor keeps serving solves from the pre-extend state."""
+    n, block = 32, 16
+    mesh = make_mesh()
+    k = _spd_equilibrated(n, seed=2)
+    f = _ShardedFactor(mesh, n, block, capacity=n + 8)
+    f.factorize(k.astype(np.float32))
+    before = _gather_factor(f)
+
+    # new rows exactly duplicating training rows 0..7: the extended
+    # system is singular, float32 cholesky of the Schur complement NaNs
+    b_dup = k[:8, :].astype(np.float32)
+    c_dup = k[:8, :8].astype(np.float32)
+    with pytest.raises(ValueError, match="positive-definite"):
+        f.extend(b_dup, c_dup)
+
+    assert f.n == n                          # size unchanged
+    np.testing.assert_array_equal(_gather_factor(f), before)
+    # and the factor still solves
+    y = np.random.RandomState(0).randn(n, 3)
+    a = f.solve(y.astype(np.float32)).astype(np.float64)
+    rel = np.linalg.norm(y - k @ a) / np.linalg.norm(y)
+    assert rel < 1e-3, rel
+
+
+def test_extend_program_cache_reused():
+    """Streaming adds of the same width reuse ONE compiled extend program
+    (n0 is a traced scalar): the per-width cache entry is created on the
+    first extend and hit, not rebuilt, on the second."""
+    n, m, block = 16, 8, 8
+    mesh = make_mesh()
+    full = _spd_equilibrated(n + 2 * m, seed=21)
+    f = _ShardedFactor(mesh, n, block, capacity=n + 2 * m)
+    f.factorize(full[:n, :n].astype(np.float32))
+    f.extend(full[n:n + m, :n], full[n:n + m, n:n + m])
+    progs = f._solvers[("extend", m)]
+    k = n + m
+    f.extend(full[k:, :k], full[k:, k:])
+    assert f._solvers[("extend", m)] is progs
+    np.testing.assert_allclose(_gather_factor(f),
+                               np.linalg.cholesky(full), atol=5e-5)
+
+
 def test_extend_capacity_refused():
     mesh = make_mesh()
     k = _spd_equilibrated(24, seed=5)

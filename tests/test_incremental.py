@@ -100,7 +100,33 @@ def test_capacity_enforced(model):
     gp = IncrementalGP(model, capacity=40, batch_size=16, block=16)
     gp.add(x, y)
     with pytest.raises(ValueError, match="capacity"):
-        gp.add(*_data(30, 4))    # 30 + 30 > padded capacity
+        gp.add(*_data(11, 4))    # 30 + 11 > the EXACT advertised bound
+    gp.add(*_data(10, 4))        # 30 + 10 == capacity is allowed
+    assert gp.n == 40
+
+
+def test_predict_before_add_refused(model):
+    gp = IncrementalGP(model, capacity=32, batch_size=16, block=16)
+    x, _ = _data(4, 8)
+    with pytest.raises(RuntimeError, match="add"):
+        gp.classify(x)
+    with pytest.raises(RuntimeError, match="add"):
+        gp.variances(x)
+    with pytest.raises(RuntimeError, match="add"):
+        gp.log_evidence()
+
+
+def test_variances_chunked_equals_whole(model):
+    """The bounded per-chunk variance dispatches (incl. the slid-back
+    overlapping tail) reproduce the single-dispatch result exactly."""
+    x1, y1 = _data(40, 15)
+    z, _ = _data(13, 16)
+    gp = IncrementalGP(model, capacity=48, batch_size=16, block=16,
+                       jitter=1e-6)
+    gp.add(x1, y1)
+    whole = gp.variances(z)            # one chunk (13 <= 512)
+    chunked = gp.variances(z, chunk=5)  # 3 chunks, tail slides back
+    np.testing.assert_array_equal(whole, chunked)
 
 
 def test_evidence_tracks_oracle_without_jitter(model):
