@@ -540,5 +540,8 @@ def classify_device_large(model, train_x, train_y, *splits,
             "n": n, "n_pad": n_pad, "block": block, "predictions": preds,
             "variances": var_list,
             "log_evidence": log_evidence, "logdet": logdet,
+            # the posterior itself (O(N) objects): everything `serving`
+            # needs to answer new queries without re-solving
+            "alpha": a_final, "scalings": s64, "jitter_raw": jitter_raw,
             "timings_s": {k_: v for k_, v in t.items() if k_ != "t0"}}
     return accs, info

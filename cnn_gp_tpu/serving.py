@@ -1,0 +1,197 @@
+"""Posterior persistence and serving: solve once, predict from any process.
+
+No reference counterpart: the reference's only persisted artifact is the
+Gram HDF5, so EVERY prediction process must re-run the full O(N^3) host
+LAPACK solve before it can score a single point (reference:
+exp_mnist_resnet/classify_gp.py:17-27 — ~45 min at N=50k on this host's
+single core; the reference's own run log, classify_gp.py:82-91, is one
+such re-solve).  Here the solved GP posterior is O(N) objects — weights
+``alpha`` [N, C], Jacobi equilibration scalings ``s`` [N], and the
+training inputs — saved once (``save_posterior``) and served by any
+process immediately (``GPPredictor``):
+
+* **means/classification**: ``K(z, X) @ alpha`` via bounded
+  tile-regeneration sweeps (`parallel.device_large.scores_regen`) — no
+  solve, no stored Gram, nothing O(N^2) anywhere, identical predictions
+  to the run that produced the posterior;
+* **variances**: after ONE solve-free rebuild of the device factor
+  (``prepare_variances``: reassemble the equilibrated Gram from the
+  stored inputs+scalings straight into the factor buffer and refactorise
+  — assembly+factor cost only, no refinement sweeps), matrix-free
+  posterior variances per query block exactly as
+  ``classify_device_large(variances=True)`` computes them.
+
+The artifact is a flat .npz (float32 inputs, float64 posterior) with a
+format version and the kernel-lowering settings snapshot recorded for
+provenance.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from . import settings
+
+__all__ = ["save_posterior", "load_posterior", "GPPredictor", "Posterior"]
+
+FORMAT_VERSION = 1
+
+
+@dataclasses.dataclass
+class Posterior:
+    """A solved GP posterior: everything needed to serve new queries."""
+    train_x: np.ndarray                 # [N, C, H, W] float32
+    alpha: np.ndarray                   # [N, n_classes] float64
+    scalings: Optional[np.ndarray]      # [N] float64 (None: means only)
+    jitter_raw: float                   # provenance; folded into scalings
+    config_name: str
+    settings_snapshot: str              # lowering settings at solve time
+
+    @property
+    def n(self) -> int:
+        return len(self.train_x)
+
+
+def save_posterior(path, *, train_x, alpha, scalings=None,
+                   jitter_raw: float = 0.0, config_name: str = "") -> str:
+    """Persist a solved posterior (e.g. from ``classify_device_large``'s
+    ``info["alpha"]/info["scalings"]/info["jitter_raw"]``) to ``path``.
+
+    ``scalings`` is optional but required later for variance serving —
+    the equilibrated factor is rebuilt from it.  Returns the final path
+    (``.npz`` appended if missing, mirroring ``np.savez``)."""
+    path = str(path)
+    if not path.endswith(".npz"):
+        path += ".npz"
+    train_x = np.asarray(train_x, np.float32)
+    alpha = np.asarray(alpha, np.float64)
+    if len(train_x) != len(alpha):
+        raise ValueError(f"train_x/alpha length mismatch: "
+                         f"{len(train_x)} vs {len(alpha)}")
+    arrays = {
+        "format_version": np.int64(FORMAT_VERSION),
+        "train_x": train_x,
+        "alpha": alpha,
+        "jitter_raw": np.float64(jitter_raw),
+        "config_name": np.str_(config_name),
+        "settings_snapshot": np.str_(repr(settings.snapshot())),
+    }
+    if scalings is not None:
+        scalings = np.asarray(scalings, np.float64)
+        if scalings.shape != (len(train_x),):
+            raise ValueError(f"scalings shape {scalings.shape} != "
+                             f"({len(train_x)},)")
+        arrays["scalings"] = scalings
+    np.savez(path, **arrays)
+    return path
+
+
+def load_posterior(path) -> Posterior:
+    with np.load(str(path), allow_pickle=False) as z:
+        version = int(z["format_version"])
+        if version > FORMAT_VERSION:
+            raise ValueError(f"posterior format {version} is newer than "
+                             f"this library's {FORMAT_VERSION}")
+        return Posterior(
+            train_x=z["train_x"],
+            alpha=z["alpha"],
+            scalings=z["scalings"] if "scalings" in z.files else None,
+            jitter_raw=float(z["jitter_raw"]),
+            config_name=str(z["config_name"]),
+            settings_snapshot=str(z["settings_snapshot"]),
+        )
+
+
+class GPPredictor:
+    """Serve a persisted posterior: means immediately, variances after a
+    solve-free factor rebuild.
+
+    ``batch_size`` is the Gram tile size for the regeneration sweeps; the
+    run that produced the posterior used its own — predictions are
+    identical when they match and equal to float32 accumulation order
+    otherwise."""
+
+    def __init__(self, model, posterior: Posterior, batch_size: int = 128):
+        self.model = model
+        self.posterior = posterior
+        self.batch_size = batch_size
+        self._factor = None
+        self._var_ctx = None
+
+    def scores(self, z) -> np.ndarray:
+        """Posterior mean scores ``K(z, X_train) @ alpha`` per class, via
+        bounded tile-regeneration sweeps (nothing O(N^2) resident)."""
+        from .parallel.device_large import scores_regen
+        return scores_regen(
+            self.model, np.asarray(z, np.float32), self.posterior.train_x,
+            self.posterior.alpha.astype(np.float32),
+            batch_size=self.batch_size)
+
+    def classify(self, z) -> np.ndarray:
+        return np.argmax(self.scores(z), axis=1)
+
+    def prepare_variances(self, mesh=None, block: int = 2048) -> None:
+        """Rebuild the device factor from the stored training set and
+        equilibration scalings: assembly + blocked in-place Cholesky, NO
+        solve or refinement (the posterior is already solved).  Required
+        once per process before :meth:`variances`; ~assembly-pass cost
+        (BASELINE.md: 241s assemble + 12s factor at N=50k vs 1000s+ for
+        the full classify run this replaces)."""
+        import jax.numpy as jnp
+
+        from .parallel.chol_dist import _ShardedFactor
+        from .parallel.device_large import _assemble_scaled, _lower_offsets
+        from .parallel.gram import _pad_to_multiple
+        from .parallel.mesh import make_mesh
+
+        p = self.posterior
+        if p.scalings is None:
+            raise ValueError("posterior was saved without scalings; "
+                             "variance serving needs them (save_posterior"
+                             "(..., scalings=info['scalings']))")
+        if mesh is None:
+            mesh = make_mesh()
+        n, b = p.n, self.batch_size
+        factor = _ShardedFactor(mesh, n, block, pad_to=b)
+        x_np = _pad_to_multiple(p.train_x, b)
+        x_all = jnp.asarray(x_np)
+        s_pad = np.ones(factor.n_pad, np.float32)
+        s_pad[:n] = p.scalings
+        k = _assemble_scaled(self.model, x_all, jnp.asarray(s_pad),
+                             _lower_offsets(n, b), b, n, factor.n_pad, mesh)
+        k.block_until_ready()
+        factor._factorize_dev(k)
+        del k
+        self._factor = factor
+        self._var_ctx = (x_all, jnp.asarray(s_pad[: x_all.shape[0]]))
+
+    def variances(self, z) -> np.ndarray:
+        """GP posterior variances ``k_zz - k_zx (K + jr I)^-1 k_xz``
+        through the rebuilt factor, matrix-free per bounded query block
+        (float64 oracle: ``ops.solve.predictive_variance``; float32
+        accumulation floor ~eps32 * k_zz)."""
+        import jax.numpy as jnp
+
+        from .parallel.device_large import (_diag_scan_jit,
+                                            _predictive_variances)
+        from .parallel.gram import _pad_to_multiple
+
+        if self._factor is None:
+            raise RuntimeError("call prepare_variances() once before "
+                               "variances()")
+        x_all, s_dev = self._var_ctx
+        n, b = self.posterior.n, self.batch_size
+        snap = settings.snapshot()
+        z = np.asarray(z, np.float32)
+        z_all = jnp.asarray(_pad_to_multiple(z, b))
+        mz = z_all.shape[0]
+        kzz = np.asarray(_diag_scan_jit(
+            self.model, z_all,
+            jnp.asarray(np.arange(0, mz, b, dtype=np.int32)),
+            b, n, mz, snap), np.float64)
+        return _predictive_variances(self._factor, self.model, x_all,
+                                     z_all, s_dev, kzz, b, n,
+                                     snap)[: len(z)]

@@ -43,6 +43,14 @@ def main(_):
               f"{info['refinements']} refinements; "
               f"log evidence {info['log_evidence']:.6g}; "
               f"timings {info['timings_s']}")
+        if FLAGS.save_posterior:
+            from cnn_gp_tpu.serving import save_posterior
+            out = save_posterior(
+                FLAGS.save_posterior, train_x=dataset.train.images,
+                alpha=info["alpha"], scalings=info["scalings"],
+                jitter_raw=info["jitter_raw"], config_name=FLAGS.config)
+            print(f"posterior saved to {out} (serve with "
+                  f"exp_mnist_resnet.serve_gp — no re-solve)")
     else:
         out = classify_device(
             config.initial_model,
@@ -84,4 +92,8 @@ if __name__ == "__main__":
                      "BASELINE.md)")
     f.DEFINE_integer("refine_iters", 1,
                      "refinement matvec passes cap (--large)")
+    f.DEFINE_string("save_posterior", "",
+                    "with --large: persist the solved posterior (O(N) "
+                    "artifact) to this path for re-solve-free serving via "
+                    "exp_mnist_resnet.serve_gp")
     absl.app.run(main)

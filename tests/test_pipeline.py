@@ -100,3 +100,30 @@ def test_classify_e2e_large_cli(tmp_path):
     assert "test accuracy:" in r.stdout, r.stdout
     assert "log evidence" in r.stdout, r.stdout
     assert "nan" not in r.stdout and "inf" not in r.stdout, r.stdout
+
+
+@pytest.mark.slow
+def test_serve_posterior_cli(tmp_path):
+    """Train-once/serve-forever through the real CLIs: classify_e2e
+    --large --save_posterior writes the O(N) artifact, serve_gp then
+    reproduces the same split accuracies (and variance summaries) WITHOUT
+    re-solving — the reference re-runs its O(N^3) solve per process."""
+    post = str(tmp_path / "posterior.npz")
+    r = run(["exp_mnist_resnet.classify_e2e", "--config=synthetic",
+             f"--datasets_path={tmp_path}", "--batch_size=32",
+             "--block=64", "--large", f"--save_posterior={post}"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "posterior saved" in r.stdout, r.stdout
+    solve_accs = [line for line in r.stdout.splitlines()
+                  if "accuracy:" in line]
+
+    r2 = run(["exp_mnist_resnet.serve_gp", "--config=synthetic",
+              f"--datasets_path={tmp_path}", f"--posterior={post}",
+              "--batch_size=32", "--block=64", "--variances"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "factor rebuilt (no solve)" in r2.stdout, r2.stdout
+    assert "predictive std" in r2.stdout, r2.stdout
+    # identical accuracies (same tile size => identical float32 sweeps)
+    for line in solve_accs:
+        split, acc = line.split(" accuracy: ")
+        assert f"{split} accuracy: {acc}" in r2.stdout, (line, r2.stdout)

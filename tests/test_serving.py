@@ -1,0 +1,129 @@
+"""Posterior persistence + serving (cnn_gp_tpu/serving.py).
+
+The capability under test (no reference counterpart — the reference
+re-runs its O(N^3) LAPACK solve in every prediction process,
+reference: exp_mnist_resnet/classify_gp.py:17-27): a posterior solved by
+`classify_device_large` round-trips through the .npz artifact and serves
+identical predictions — and, after a solve-free factor rebuild,
+oracle-accurate variances — in a fresh consumer.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+import cnn_gp_tpu as G
+from cnn_gp_tpu.data import synthetic_arrays
+from cnn_gp_tpu.ops import solve as solve_ops
+from cnn_gp_tpu.parallel import classify_device_large, gram_in_memory
+from cnn_gp_tpu.serving import (FORMAT_VERSION, GPPredictor, load_posterior,
+                                save_posterior)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device backend")
+    from cnn_gp_tpu.parallel import make_mesh
+    return make_mesh()
+
+
+@pytest.fixture(scope="module")
+def model():
+    return G.Sequential(G.Conv2d(3), G.ReLU(), G.Conv2d(3), G.ReLU(),
+                        G.Conv2d(8, padding=0))
+
+
+@pytest.fixture(scope="module")
+def solved(model, mesh, tmp_path_factory):
+    """One classify_device_large run + its saved posterior artifact."""
+    x, y, zx, zy = synthetic_arrays(n_train=96, n_test=32, shape=(1, 8, 8),
+                                    n_classes=4)
+    accs, info = classify_device_large(model, x, y, (zx, zy),
+                                       batch_size=16, block=32,
+                                       jitter=1e-6, mesh=mesh,
+                                       verbose=False)
+    path = save_posterior(
+        tmp_path_factory.mktemp("posterior") / "p",
+        train_x=x, alpha=info["alpha"], scalings=info["scalings"],
+        jitter_raw=info["jitter_raw"], config_name="unit-test")
+    return dict(x=x, y=y, zx=zx, zy=zy, accs=accs, info=info, path=path)
+
+
+def test_roundtrip_fields(solved):
+    p = load_posterior(solved["path"])
+    assert solved["path"].endswith(".npz")
+    np.testing.assert_array_equal(p.train_x, solved["x"])
+    np.testing.assert_array_equal(p.alpha, solved["info"]["alpha"])
+    np.testing.assert_array_equal(p.scalings, solved["info"]["scalings"])
+    assert p.jitter_raw == solved["info"]["jitter_raw"]
+    assert p.config_name == "unit-test"
+    assert p.n == len(solved["x"])
+    assert "poly" in p.settings_snapshot     # provenance recorded
+
+
+def test_scores_only_artifact(tmp_path):
+    """scalings are optional (mean-only serving) and enforced by
+    prepare_variances; bad shapes are refused at save time."""
+    x = np.zeros((4, 1, 5, 5), np.float32)
+    a = np.zeros((4, 3))
+    path = save_posterior(tmp_path / "m.npz", train_x=x, alpha=a)
+    p = load_posterior(path)
+    assert p.scalings is None
+    pred = GPPredictor(G.Sequential(G.Conv2d(5, padding=0)), p)
+    with pytest.raises(ValueError, match="scalings"):
+        pred.prepare_variances()
+    with pytest.raises(RuntimeError, match="prepare_variances"):
+        pred.variances(x)
+    with pytest.raises(ValueError, match="mismatch"):
+        save_posterior(tmp_path / "bad", train_x=x, alpha=a[:2])
+    with pytest.raises(ValueError, match="scalings"):
+        save_posterior(tmp_path / "bad2", train_x=x, alpha=a,
+                       scalings=np.ones(3))
+
+
+def test_newer_format_refused(tmp_path, solved):
+    data = dict(np.load(solved["path"], allow_pickle=False))
+    data["format_version"] = np.int64(FORMAT_VERSION + 1)
+    np.savez(tmp_path / "future.npz", **data)
+    with pytest.raises(ValueError, match="newer"):
+        load_posterior(tmp_path / "future.npz")
+
+
+def test_served_predictions_identical(model, solved):
+    """A fresh predictor over the loaded artifact reproduces the solving
+    run's predictions exactly (same tile size => same float32 sweeps)."""
+    p = load_posterior(solved["path"])
+    pred = GPPredictor(model, p, batch_size=16)
+    np.testing.assert_array_equal(pred.classify(solved["zx"]),
+                                  solved["info"]["predictions"][0])
+    # and the scores themselves match an explicit float64 Kzx @ alpha
+    kzx = np.asarray(gram_in_memory(model, solved["zx"], solved["x"],
+                                    batch_size=16, progress=False),
+                     np.float64)
+    want = kzx @ p.alpha
+    got = pred.scores(solved["zx"])
+    assert np.max(np.abs(got - want)) < 2e-5 * np.abs(want).max()
+
+
+def test_served_variances_match_oracle(model, mesh, solved):
+    """prepare_variances rebuilds the factor WITHOUT a solve; variances
+    then match the float64 oracle on the same jittered system."""
+    p = load_posterior(solved["path"])
+    pred = GPPredictor(model, p, batch_size=16)
+    pred.prepare_variances(mesh=mesh, block=32)
+    got = pred.variances(solved["zx"])
+
+    kxx = np.asarray(gram_in_memory(model, solved["x"], batch_size=16,
+                                    progress=False), np.float64)
+    kzx = np.asarray(gram_in_memory(model, solved["zx"], solved["x"],
+                                    batch_size=16, progress=False),
+                     np.float64)
+    kzz = np.ascontiguousarray(np.diagonal(np.asarray(
+        gram_in_memory(model, solved["zx"], batch_size=16,
+                       progress=False), np.float64)))
+    want = solve_ops.predictive_variance(kxx, kzx, kzz,
+                                         jitter=p.jitter_raw)
+    scale = float(np.mean(np.diagonal(kxx)))
+    assert np.max(np.abs(got - want)) < 1e-5 * scale
+    assert (got >= 0).all()
