@@ -12,6 +12,11 @@ classification" table:
     python -m scripts.device_large_scale --n_train=16384 --n_test=2048 \
         --check_scipy
     python -m scripts.device_large_scale --n_train=50000 --n_test=20000
+
+Serving protocol (BASELINE.md "Posterior serving"): add
+``--save_posterior=/tmp/p.npz`` to a classify run, then measure the
+solve-free serving wall in a fresh process with
+``--serve_posterior=/tmp/p.npz`` and the same data flags.
 """
 
 import time
@@ -40,6 +45,10 @@ def main(_):
         te_x, te_y = te_x[FLAGS.n_validation:], te_y[FLAGS.n_validation:]
         splits = [(va_x, va_y), (te_x, te_y)]
 
+    if FLAGS.serve_posterior:
+        _serve(model, splits)
+        return
+
     t0 = time.perf_counter()
     accs, info = classify_device_large(
         model, tr_x, tr_y, *splits,
@@ -54,6 +63,15 @@ def main(_):
           flush=True)
     if FLAGS.out_predictions:
         np.save(FLAGS.out_predictions, np.concatenate(info["predictions"]))
+    if FLAGS.save_posterior:
+        from cnn_gp_tpu.serving import save_posterior
+        out = save_posterior(FLAGS.save_posterior, train_x=tr_x,
+                             alpha=info["alpha"], scalings=info["scalings"],
+                             jitter_raw=info["jitter_raw"],
+                             config_name=FLAGS.config)
+        print(f"posterior saved to {out}; serve it with a fresh\n"
+              f"  python -m scripts.device_large_scale "
+              f"--serve_posterior={out} <same data flags>", flush=True)
 
     if FLAGS.check_scipy:
         t0 = time.perf_counter()
@@ -83,6 +101,35 @@ def main(_):
                   f"{np.abs(got - want).max() / scale:.2e}", flush=True)
 
 
+def _serve(model, splits):
+    """Serving-mode timing: load the O(N) posterior and score the same
+    synthetic splits in THIS fresh process with no solve (plus variances
+    after the solve-free factor rebuild if --variances)."""
+    from cnn_gp_tpu.serving import GPPredictor, load_posterior
+
+    t0 = time.perf_counter()
+    posterior = load_posterior(FLAGS.serve_posterior)
+    predictor = GPPredictor(model, posterior, batch_size=FLAGS.batch_size)
+    print(f"posterior loaded in {time.perf_counter() - t0:.1f}s "
+          f"(n={posterior.n}, config={posterior.config_name!r})", flush=True)
+    if FLAGS.variances:
+        t0 = time.perf_counter()
+        predictor.prepare_variances(block=FLAGS.block)
+        print(f"factor rebuilt (no solve) in "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
+    for i, (zx, zy) in enumerate(splits):
+        t0 = time.perf_counter()
+        pred = predictor.classify(zx)
+        acc = float(np.mean(pred == np.asarray(zy)))
+        print(f"split {i}: acc {acc} ({len(zx)} points in "
+              f"{time.perf_counter() - t0:.1f}s)", flush=True)
+        if FLAGS.variances:
+            t0 = time.perf_counter()
+            var = predictor.variances(zx)
+            print(f"split {i}: var mean {var.mean():.4e} min {var.min():.4e} "
+                  f"({time.perf_counter() - t0:.1f}s)", flush=True)
+
+
 if __name__ == "__main__":
     f = absl.flags
     f.DEFINE_string("config", "mnist_as_tf", "config name from `configs`")
@@ -105,4 +152,11 @@ if __name__ == "__main__":
                      "cross-check predictions against the float64 scipy "
                      "pipeline (explicit Grams; feasible to ~16k)")
     f.DEFINE_string("out_predictions", "", "optional .npy output path")
+    f.DEFINE_string("save_posterior", "",
+                    "persist the solved posterior (cnn_gp_tpu.serving) to "
+                    "this path after the classify run")
+    f.DEFINE_string("serve_posterior", "",
+                    "SKIP the solve: load this posterior artifact and "
+                    "serve the synthetic splits (same data flags/seed "
+                    "regenerate them) — the serving-wall measurement")
     absl.app.run(main)
