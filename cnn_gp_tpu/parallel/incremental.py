@@ -177,6 +177,18 @@ class IncrementalGP:
         if self._alpha is None:
             raise RuntimeError("add() labelled data before predicting")
 
+    def save_posterior(self, path, config_name: str = "") -> str:
+        """Persist the CURRENT posterior as the O(N) serving artifact
+        (``cnn_gp_tpu.serving``): an online-grown model is served exactly
+        like a batch-solved one — ``GPPredictor`` over the saved file
+        reproduces this object's predictions and (after a solve-free
+        factor rebuild) its variances.  Returns the final path."""
+        from ..serving import save_posterior as _save
+        self._require_data()
+        return _save(path, train_x=self._x, alpha=self._alpha,
+                     scalings=self._s, jitter_raw=self._jitter_raw,
+                     config_name=config_name)
+
     def scores(self, x) -> np.ndarray:
         """Posterior mean scores ``K(x, X_train) @ alpha`` per class."""
         self._require_data()

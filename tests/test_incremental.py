@@ -144,3 +144,34 @@ def test_evidence_tracks_oracle_without_jitter(model):
     ev_ref = solve_ops.log_marginal_likelihood(kxx, t)
     assert abs(info["log_evidence"] - ev_ref) < 1e-3 * abs(ev_ref)
     assert info["rel_residual"] < 1e-10
+
+
+def test_save_posterior_serves_grown_model(model, tmp_path):
+    """An online-grown posterior persists through the serving artifact:
+    a fresh GPPredictor over the saved file reproduces the IncrementalGP's
+    predictions and (after a solve-free factor rebuild) its variances."""
+    from cnn_gp_tpu.serving import GPPredictor, load_posterior
+
+    x1, y1 = _data(40, 20)
+    x2, y2 = _data(24, 21)
+    z, _ = _data(12, 22)
+    gp = IncrementalGP(model, capacity=64, batch_size=16, block=16,
+                       jitter=1e-6)
+    gp.add(x1, y1)
+    with pytest.raises(RuntimeError, match="add"):
+        IncrementalGP(model, capacity=8).save_posterior(tmp_path / "no")
+    gp.add(x2, y2)
+    path = gp.save_posterior(tmp_path / "grown", config_name="incremental")
+
+    p = load_posterior(path)
+    assert p.n == gp.n and p.jitter_raw == gp._jitter_raw
+    pred = GPPredictor(model, p, batch_size=16)
+    np.testing.assert_array_equal(pred.classify(z), gp.classify(z))
+    # scores agree to the tile-regeneration float32 accumulation floor
+    got, want = pred.scores(z), gp.scores(z)
+    assert np.max(np.abs(got - want)) < 2e-5 * np.abs(want).max()
+
+    pred.prepare_variances(block=16)
+    got_v, want_v = pred.variances(z), gp.variances(z)
+    scale = float(np.mean([model(x1[:8], diag=True).mean()]))
+    assert np.max(np.abs(got_v - want_v)) < 1e-5 * scale
