@@ -30,11 +30,18 @@ FLAGS = absl.flags.FLAGS
 
 def main(_):
     config = configs.load(FLAGS.config)
-    dataset = DatasetFromConfig(FLAGS.datasets_path, config)
     posterior = load_posterior(FLAGS.posterior)
     print(f"posterior: n={posterior.n} classes={posterior.alpha.shape[1]} "
           f"config={posterior.config_name!r} "
           f"variance-ready={posterior.scalings is not None}")
+    if posterior.config_name and posterior.config_name != FLAGS.config:
+        # a mismatched kernel serves silently wrong numbers — refuse
+        raise SystemExit(
+            f"posterior was solved under config "
+            f"{posterior.config_name!r} but --config={FLAGS.config!r}; "
+            f"pass the matching config (the kernel must be the one the "
+            f"posterior was solved with)")
+    dataset = DatasetFromConfig(FLAGS.datasets_path, config)
     predictor = GPPredictor(config.initial_model, posterior,
                             batch_size=FLAGS.batch_size)
 

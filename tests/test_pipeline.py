@@ -127,3 +127,9 @@ def test_serve_posterior_cli(tmp_path):
     for line in solve_accs:
         split, acc = line.split(" accuracy: ")
         assert f"{split} accuracy: {acc}" in r2.stdout, (line, r2.stdout)
+
+    # a mismatched --config would serve a different kernel => refused
+    r3 = run(["exp_mnist_resnet.serve_gp", "--config=mnist",
+              f"--datasets_path={tmp_path}", f"--posterior={post}"])
+    assert r3.returncode != 0
+    assert "solved under config" in (r3.stdout + r3.stderr)
