@@ -54,7 +54,9 @@ from .chol_dist import _ShardedFactor, _chunk_starts
 from .gram import _pad_to_multiple, _tile_body
 from .mesh import make_mesh, row_sharded
 
-__all__ = ["classify_device_large", "gram_matvec_regen", "scores_regen"]
+__all__ = ["classify_device_large", "gram_matvec_regen",
+           "scores_regen", "make_scores_fn", "rebuild_factor",
+           "variances_from_factor"]
 
 
 def _upper_offsets(n: int, b: int) -> jnp.ndarray:
@@ -346,20 +348,81 @@ def _raw_matvec(model, x_all, a, b, n, m_pad):
     return np.asarray(out)[:n]
 
 
+def make_scores_fn(model, X, a: np.ndarray, *, batch_size: int = 128):
+    """Upload ``X`` and the padded weights ONCE and return a
+    ``scores(Z) -> [len(Z), nrhs]`` closure over the device copies — the
+    repeated-serving form of :func:`scores_regen` (a serving loop calling
+    scores_regen directly would re-pay the full O(N) host->device
+    transfer of the training set per query batch)."""
+    b = batch_size
+    n_x = len(X)
+    x_all = jnp.asarray(_pad_to_multiple(np.asarray(X, np.float32), b))
+    a_pad = np.zeros((x_all.shape[0], a.shape[1]), np.float32)
+    a_pad[:n_x] = a
+    a_dev = jnp.asarray(a_pad)
+
+    def scores(Z) -> np.ndarray:
+        """K(Z, X) @ a with tile regeneration; only [len(Z), nrhs] is
+        ever resident or fetched."""
+        z_all = jnp.asarray(_pad_to_multiple(np.asarray(Z, np.float32), b))
+        with jax.default_matmul_precision("highest"):
+            out = _scores_scan(model, z_all, x_all,
+                               _rect_offsets(len(Z), n_x, b),
+                               a_dev, b, settings.snapshot())
+        return np.asarray(out)[:len(Z)]
+
+    return scores
+
+
 def scores_regen(model, Z, X, a: np.ndarray, *,
                  batch_size: int = 128) -> np.ndarray:
     """K(Z, X) @ a with tile regeneration; only [len(Z), nrhs] is ever
-    resident or fetched."""
-    b = batch_size
-    z_all = jnp.asarray(_pad_to_multiple(np.asarray(Z, np.float32), b))
-    x_all = jnp.asarray(_pad_to_multiple(np.asarray(X, np.float32), b))
-    a_pad = np.zeros((x_all.shape[0], a.shape[1]), np.float32)
-    a_pad[:len(X)] = a
-    with jax.default_matmul_precision("highest"):
-        out = _scores_scan(model, z_all, x_all,
-                           _rect_offsets(len(Z), len(X), b),
-                           jnp.asarray(a_pad), b, settings.snapshot())
-    return np.asarray(out)[:len(Z)]
+    resident or fetched.  One-shot form of :func:`make_scores_fn`."""
+    return make_scores_fn(model, X, a, batch_size=batch_size)(Z)
+
+
+def rebuild_factor(model, train_x, scalings, *, batch_size: int = 128,
+                   block: int = 2048, mesh=None):
+    """Reassemble the equilibrated system a prior solve factorised —
+    ``M = D^-1/2 (K + jr I) D^-1/2`` pinned to a unit diagonal, which the
+    Jacobi ``scalings`` determine exactly — straight into the factor
+    buffer and refactorise.  NO solve, no refinement: assembly+factor
+    cost only.  This is how a serving process (`cnn_gp_tpu.serving`)
+    regains variance capability from the O(N) posterior artifact.
+
+    Returns ``(factor, x_all, s_dev)``: the live sharded factor, the
+    device-resident padded training inputs, and the device scaling
+    vector — the triple :func:`variances_from_factor` consumes."""
+    if mesh is None:
+        mesh = make_mesh()
+    n, b = len(train_x), batch_size
+    factor = _ShardedFactor(mesh, n, block, pad_to=b)
+    x_all = jnp.asarray(_pad_to_multiple(np.asarray(train_x, np.float32), b))
+    s_pad = np.ones(factor.n_pad, np.float32)
+    s_pad[:n] = scalings
+    k = _assemble_scaled(model, x_all, jnp.asarray(s_pad),
+                         _lower_offsets(n, b), b, n, factor.n_pad, mesh)
+    k.block_until_ready()
+    factor._factorize_dev(k)
+    del k
+    jax.block_until_ready(factor.l_loc)
+    return factor, x_all, jnp.asarray(s_pad[: x_all.shape[0]])
+
+
+def variances_from_factor(factor, model, x_all, s_dev, xz, b: int, n: int,
+                          snap) -> np.ndarray:
+    """Matrix-free GP posterior variances for one query split through a
+    live factor (empty-split safe): kzz by bounded diagonal scan, then
+    whitened regenerated cross-columns (`_predictive_variances`)."""
+    if len(xz) == 0:    # tracing a b-sized slice of a 0-row z_all is a
+        return np.zeros(0, np.float64)               # trace-time TypeError
+    z_all = jnp.asarray(_pad_to_multiple(np.asarray(xz, np.float32), b))
+    mz = z_all.shape[0]
+    kzz = np.asarray(_diag_scan_jit(
+        model, z_all, jnp.asarray(np.arange(0, mz, b, dtype=np.int32)),
+        b, n, mz, snap), np.float64)
+    return _predictive_variances(factor, model, x_all, z_all, s_dev, kzz,
+                                 b, n, snap)[: len(xz)]
 
 
 def classify_device_large(model, train_x, train_y, *splits,
@@ -505,22 +568,9 @@ def classify_device_large(model, train_x, train_y, *splits,
     # 4b. optional predictive variances -- needs the live factor
     var_list = None
     if variances:
-        var_list = []
-        for xz, _ in splits:
-            if len(xz) == 0:    # mirror the empty-split scores handling:
-                # tracing a b-sized slice of a 0-row z_all is a TypeError
-                var_list.append(np.zeros(0, np.float64))
-                continue
-            z_all = jnp.asarray(
-                _pad_to_multiple(np.asarray(xz, np.float32), b))
-            mz = z_all.shape[0]
-            kzz = np.asarray(_diag_scan_jit(
-                model, z_all,
-                jnp.asarray(np.arange(0, mz, b, dtype=np.int32)),
-                b, n, mz, snap), np.float64)
-            var_list.append(_predictive_variances(
-                factor, model, x_all, z_all, s_dev, kzz, b, n,
-                snap)[:len(xz)])
+        var_list = [variances_from_factor(factor, model, x_all, s_dev,
+                                          xz, b, n, snap)
+                    for xz, _ in splits]
         tick("variances")
 
     factor.l_loc = factor.diags = None       # release ~N^2 HBM for scoring

@@ -68,6 +68,9 @@ def save_posterior(path, *, train_x, alpha, scalings=None,
         path += ".npz"
     train_x = np.asarray(train_x, np.float32)
     alpha = np.asarray(alpha, np.float64)
+    if alpha.ndim != 2:
+        raise ValueError(f"alpha must be [N, n_classes], got shape "
+                         f"{alpha.shape}")  # fail here, not at serve time
     if len(train_x) != len(alpha):
         raise ValueError(f"train_x/alpha length mismatch: "
                          f"{len(train_x)} vs {len(alpha)}")
@@ -112,23 +115,45 @@ class GPPredictor:
     ``batch_size`` is the Gram tile size for the regeneration sweeps; the
     run that produced the posterior used its own — predictions are
     identical when they match and equal to float32 accumulation order
-    otherwise."""
+    otherwise.
 
-    def __init__(self, model, posterior: Posterior, batch_size: int = 128):
+    Construction refuses a posterior whose recorded kernel-lowering
+    settings snapshot differs from the process's current
+    ``settings.snapshot()``: alpha was solved against THAT kernel, and
+    regenerating ``K(z, X)`` under different lowering (e.g. exact vs
+    poly arccos) silently shifts near-tie classifications.  Pass
+    ``allow_settings_mismatch=True`` after deliberately matching the
+    numerics (the deviations are bounded <5e-7 — see
+    ``cnn_gp_tpu.settings``)."""
+
+    def __init__(self, model, posterior: Posterior, batch_size: int = 128,
+                 allow_settings_mismatch: bool = False):
+        current = repr(settings.snapshot())
+        if (not allow_settings_mismatch and posterior.settings_snapshot
+                and posterior.settings_snapshot != current):
+            raise ValueError(
+                f"posterior was solved under kernel-lowering settings "
+                f"{posterior.settings_snapshot} but this process has "
+                f"{current}; align cnn_gp_tpu.settings (or pass "
+                f"allow_settings_mismatch=True)")
         self.model = model
         self.posterior = posterior
         self.batch_size = batch_size
         self._factor = None
         self._var_ctx = None
+        self._scores_fn = None
 
     def scores(self, z) -> np.ndarray:
         """Posterior mean scores ``K(z, X_train) @ alpha`` per class, via
-        bounded tile-regeneration sweeps (nothing O(N^2) resident)."""
-        from .parallel.device_large import scores_regen
-        return scores_regen(
-            self.model, np.asarray(z, np.float32), self.posterior.train_x,
-            self.posterior.alpha.astype(np.float32),
-            batch_size=self.batch_size)
+        bounded tile-regeneration sweeps (nothing O(N^2) resident).  The
+        training set and weights are uploaded once, on the first call."""
+        if self._scores_fn is None:
+            from .parallel.device_large import make_scores_fn
+            self._scores_fn = make_scores_fn(
+                self.model, self.posterior.train_x,
+                self.posterior.alpha.astype(np.float32),
+                batch_size=self.batch_size)
+        return self._scores_fn(np.asarray(z, np.float32))
 
     def classify(self, z) -> np.ndarray:
         return np.argmax(self.scores(z), axis=1)
@@ -140,58 +165,33 @@ class GPPredictor:
         once per process before :meth:`variances`; ~assembly-pass cost
         (BASELINE.md: 241s assemble + 12s factor at N=50k vs 1000s+ for
         the full classify run this replaces)."""
-        import jax.numpy as jnp
-
-        from .parallel.chol_dist import _ShardedFactor
-        from .parallel.device_large import _assemble_scaled, _lower_offsets
-        from .parallel.gram import _pad_to_multiple
-        from .parallel.mesh import make_mesh
+        from .parallel.device_large import rebuild_factor
 
         p = self.posterior
         if p.scalings is None:
             raise ValueError("posterior was saved without scalings; "
                              "variance serving needs them (save_posterior"
                              "(..., scalings=info['scalings']))")
-        if mesh is None:
-            mesh = make_mesh()
-        n, b = p.n, self.batch_size
-        factor = _ShardedFactor(mesh, n, block, pad_to=b)
-        x_np = _pad_to_multiple(p.train_x, b)
-        x_all = jnp.asarray(x_np)
-        s_pad = np.ones(factor.n_pad, np.float32)
-        s_pad[:n] = p.scalings
-        k = _assemble_scaled(self.model, x_all, jnp.asarray(s_pad),
-                             _lower_offsets(n, b), b, n, factor.n_pad, mesh)
-        k.block_until_ready()
-        factor._factorize_dev(k)
-        del k
+        factor, x_all, s_dev = rebuild_factor(
+            self.model, p.train_x, p.scalings,
+            batch_size=self.batch_size, block=block, mesh=mesh)
         self._factor = factor
-        self._var_ctx = (x_all, jnp.asarray(s_pad[: x_all.shape[0]]))
+        # pin the lowering snapshot at rebuild time: the variance sweeps
+        # must whiten cross-columns of the SAME kernel the factor holds
+        self._var_ctx = (x_all, s_dev, settings.snapshot())
 
     def variances(self, z) -> np.ndarray:
         """GP posterior variances ``k_zz - k_zx (K + jr I)^-1 k_xz``
         through the rebuilt factor, matrix-free per bounded query block
         (float64 oracle: ``ops.solve.predictive_variance``; float32
-        accumulation floor ~eps32 * k_zz)."""
-        import jax.numpy as jnp
-
-        from .parallel.device_large import (_diag_scan_jit,
-                                            _predictive_variances)
-        from .parallel.gram import _pad_to_multiple
+        accumulation floor ~eps32 * k_zz).  Empty-split safe."""
+        from .parallel.device_large import variances_from_factor
 
         if self._factor is None:
             raise RuntimeError("call prepare_variances() once before "
                                "variances()")
-        x_all, s_dev = self._var_ctx
-        n, b = self.posterior.n, self.batch_size
-        snap = settings.snapshot()
-        z = np.asarray(z, np.float32)
-        z_all = jnp.asarray(_pad_to_multiple(z, b))
-        mz = z_all.shape[0]
-        kzz = np.asarray(_diag_scan_jit(
-            self.model, z_all,
-            jnp.asarray(np.arange(0, mz, b, dtype=np.int32)),
-            b, n, mz, snap), np.float64)
-        return _predictive_variances(self._factor, self.model, x_all,
-                                     z_all, s_dev, kzz, b, n,
-                                     snap)[: len(z)]
+        x_all, s_dev, snap = self._var_ctx
+        return variances_from_factor(
+            self._factor, self.model, x_all, s_dev,
+            np.asarray(z, np.float32), self.batch_size, self.posterior.n,
+            snap)

@@ -127,3 +127,34 @@ def test_served_variances_match_oracle(model, mesh, solved):
     scale = float(np.mean(np.diagonal(kxx)))
     assert np.max(np.abs(got - want)) < 1e-5 * scale
     assert (got >= 0).all()
+
+
+def test_settings_mismatch_refused(model, solved):
+    """A posterior solved under different kernel-lowering settings is a
+    different kernel — construction refuses it unless overridden."""
+    from cnn_gp_tpu import settings
+    p = load_posterior(solved["path"])
+    with settings.override(acos_impl="exact"):
+        with pytest.raises(ValueError, match="lowering settings"):
+            GPPredictor(model, p)
+        pred = GPPredictor(model, p, allow_settings_mismatch=True)
+    # matching settings construct cleanly
+    GPPredictor(model, p)
+    del pred
+
+
+def test_empty_query_batches(model, mesh, solved):
+    """Zero-row query batches are served (not a trace-time TypeError)."""
+    p = load_posterior(solved["path"])
+    pred = GPPredictor(model, p, batch_size=16)
+    empty = np.zeros((0,) + p.train_x.shape[1:], np.float32)
+    assert pred.scores(empty).shape == (0, p.alpha.shape[1])
+    assert pred.classify(empty).shape == (0,)
+    pred.prepare_variances(mesh=mesh, block=32)
+    assert pred.variances(empty).shape == (0,)
+
+
+def test_bad_alpha_rank_refused(tmp_path):
+    x = np.zeros((4, 1, 5, 5), np.float32)
+    with pytest.raises(ValueError, match="n_classes"):
+        save_posterior(tmp_path / "r1", train_x=x, alpha=np.zeros(4))
