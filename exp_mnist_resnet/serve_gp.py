@@ -42,8 +42,9 @@ def main(_):
             f"pass the matching config (the kernel must be the one the "
             f"posterior was solved with)")
     dataset = DatasetFromConfig(FLAGS.datasets_path, config)
-    predictor = GPPredictor(config.initial_model, posterior,
-                            batch_size=FLAGS.batch_size)
+    predictor = GPPredictor(
+        config.initial_model, posterior, batch_size=FLAGS.batch_size,
+        allow_settings_mismatch=FLAGS.allow_settings_mismatch)
 
     if FLAGS.variances:
         t0 = time.perf_counter()
@@ -83,4 +84,9 @@ if __name__ == "__main__":
                      "device factor once, solve-free)")
     f.DEFINE_integer("block", 2048, "Cholesky block size for the variance "
                      "factor rebuild")
+    f.DEFINE_boolean("allow_settings_mismatch", False,
+                     "serve a posterior recorded under different "
+                     "kernel-lowering settings (cnn_gp_tpu.settings) — "
+                     "the regenerated kernel then deviates from the one "
+                     "alpha was solved against (bounded <5e-7)")
     absl.app.run(main)
