@@ -302,13 +302,15 @@ def test_scores_regen_empty_split(small_model):
 
 
 @pytest.mark.slow
-def test_classify_large_medium_n(mesh, small_model):
+def test_classify_large_medium_n(mesh, small_model, tmp_path):
     """Round-2 VERDICT #3: the fully device-resident path at medium N on
     the 8-device mesh — N=2333 with tile size 48 and factor block 128, so
     nothing divides anything (tile cover 2352 vs factor pad, 19 factor
     blocks over 8 devices, uneven tail tile) and each device owns
     multiple blocks.  Predictions must be scipy-float64-identical and the
-    residual at the f32 floor."""
+    residual at the f32 floor.  The saved posterior must then serve
+    bit-identical predictions and variances at the same shape (the
+    rebuilt factor goes through the identical assembly arithmetic)."""
     n = 2333
     tr_x, tr_y, te_x, te_y = synthetic_arrays(
         n_train=n, n_test=128, shape=(1, 7, 7), seed=21)
@@ -336,6 +338,20 @@ def test_classify_large_medium_n(mesh, small_model):
     scale = float(kzz.mean())
     np.testing.assert_allclose(info["variances"][0], want,
                                atol=5e-5 * scale, rtol=2e-3)
+
+    # serving round-trip at the same awkward medium-N shape: identical
+    # tile size + scalings => bit-identical sweeps and rebuilt factor
+    from cnn_gp_tpu.serving import GPPredictor, load_posterior, \
+        save_posterior
+    path = save_posterior(tmp_path / "medium", train_x=tr_x,
+                          alpha=info["alpha"], scalings=info["scalings"],
+                          jitter_raw=info["jitter_raw"])
+    pred = GPPredictor(small_model, load_posterior(path), batch_size=48)
+    np.testing.assert_array_equal(pred.classify(te_x),
+                                  info["predictions"][0])
+    pred.prepare_variances(mesh=mesh, block=128)
+    np.testing.assert_array_equal(pred.variances(te_x),
+                                  info["variances"][0])
 
 
 def test_classify_large_empty_split_variances(mesh, small_model):
