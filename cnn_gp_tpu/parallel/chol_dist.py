@@ -96,9 +96,12 @@ def _ir_solve(precond, residual, y64: np.ndarray, refine_iters: int,
     """Float64 iterative refinement against a float32 factor: ``precond``
     maps a float64 residual to a correction (one factor solve), ``residual``
     is a `_blocked_residual_fn`-style closure.  Keeps the best iterate and
-    stops on ``tol`` or stagnation (shared by `chol_solve_dist`,
-    `chol_solve_ir32`, and `IncrementalGP`).  Returns
-    ``(best_a, best_rel, iters)``."""
+    stops on ``tol`` or stagnation — a sweep that shrinks the best
+    residual by less than 10% (IR against a Cholesky factor converges at
+    a fast linear rate until the factor's accuracy floor, where it
+    plateaus/oscillates; every further sweep costs a full residual pass
+    for nothing).  Shared by `chol_solve_dist`, `chol_solve_ir32`, and
+    `IncrementalGP`.  Returns ``(best_a, best_rel, iters)``."""
     a = precond(y64)
     r, rel = residual(a)
     best_a, best_rel = a, rel
@@ -107,10 +110,11 @@ def _ir_solve(precond, residual, y64: np.ndarray, refine_iters: int,
         iters += 1
         a = a + precond(r)
         r, rel = residual(a)
+        prev_best = best_rel
         if rel < best_rel:
             best_a, best_rel = a, rel
-        elif rel > 0.9 * best_rel:           # stagnated; keep best iterate
-            break
+        if rel > 0.9 * prev_best:            # <10% progress: stagnated at
+            break                            # the factor's floor
     return best_a, best_rel, iters
 
 
@@ -439,23 +443,45 @@ class _ShardedFactor:
 
     def _extend_diags_program(self, nblk: int):
         """Refresh ``nblk`` consecutive diag-stack blocks from the live
-        buffer; cached per ``nblk`` with the first block index traced."""
+        buffer; cached per ``nblk`` with the first block index traced.
+
+        Runs as a shard_map: each device masks out the rows of each
+        diagonal block it owns (a block can straddle device boundaries
+        when ``rows_local`` is not a multiple of ``block``) and a psum
+        assembles the [block, block] tile.  A plain-jit ``dynamic_slice``
+        over the row-sharded buffer would make GSPMD replicate the whole
+        [n_pad, n_pad] factor on multi-device meshes — an ~N^2-byte
+        all-gather per extension, against the bounded-program rules."""
         key = ("extend_diags", nblk)
         if key not in self._solvers:
-            block = self.block
+            axis, rows_local, block = self.axis, self.rows_local, self.block
             repl = NamedSharding(self.mesh, P())
 
-            def upd_diags(l_glob, diags, kb0):
+            def upd_diags(l_loc, diags, kb0):
+                me = lax.axis_index(axis)
+                grow = me * rows_local + jnp.arange(rows_local)
+
                 def body(i, diags):
                     kb = kb0 + i
-                    blk = lax.dynamic_slice(
-                        l_glob, (kb * block, kb * block), (block, block))
+                    cols = lax.dynamic_slice(
+                        l_loc, (0, kb * block), (rows_local, block))
+                    rel = grow - kb * block   # row position within block
+                    pick = (rel >= 0) & (rel < block)
+                    idx = jnp.clip(rel, 0, block - 1)
+                    blk = jnp.zeros((block, block), l_loc.dtype)
+                    blk = blk.at[idx].add(
+                        jnp.where(pick[:, None], cols, 0.0))
+                    blk = lax.psum(blk, axis)
                     return lax.dynamic_update_slice(
                         diags, jnp.tril(blk)[None], (kb, 0, 0))
+
                 return lax.fori_loop(0, nblk, body, diags)
 
-            self._solvers[key] = jax.jit(upd_diags, donate_argnums=1,
-                                         out_shardings=repl)
+            self._solvers[key] = jax.jit(jax.shard_map(
+                upd_diags, mesh=self.mesh,
+                in_specs=(P(self.axis, None), P(), P()),
+                out_specs=P(), check_vma=False),
+                donate_argnums=1, out_shardings=repl)
         return self._solvers[key]
 
     def extend(self, b_scaled: np.ndarray, c_scaled: np.ndarray) -> None:
@@ -535,8 +561,12 @@ class _ShardedFactor:
         self.n = n0 + m
 
     def log_diag_sum(self) -> float:
-        """``sum(log(diag(L)))`` over the padded factor, in float64 on
-        device (one tiny program; only the scalar crosses the link).
+        """``sum(log(diag(L)))`` over the padded factor: the [n_pad]
+        diagonal (float32, a few hundred KB at 50k) is fetched and the
+        log-sum accumulates in float64 on host — summing ~N float32 logs
+        on device would add avoidable rounding on top of the factor's own
+        float32 error (and device float64 is only live under the
+        never-enabled jax_enable_x64).
 
         Pad rows contribute exactly 0: identity padding gives them a unit
         diagonal and zero off-diagonals, so their factor diagonal is
@@ -548,13 +578,12 @@ class _ShardedFactor:
             raise RuntimeError("factorize before log_diag_sum")
         if "log_diag_sum" not in self._solvers:
             @jax.jit
-            def lds(diags):
-                d = jnp.diagonal(diags, axis1=1, axis2=2)
-                return jnp.sum(jnp.log(d.astype(jnp.float64)
-                                       if jax.config.jax_enable_x64
-                                       else d))
-            self._solvers["log_diag_sum"] = lds
-        return float(self._solvers["log_diag_sum"](self.diags))
+            def diag_stack(diags):
+                return jnp.diagonal(diags, axis1=1, axis2=2)
+            self._solvers["log_diag_sum"] = diag_stack
+        d = np.asarray(self._solvers["log_diag_sum"](self.diags),
+                       np.float64)
+        return float(np.sum(np.log(d)))
 
     def solve(self, rhs: np.ndarray) -> np.ndarray:
         """(L L^T)^{-1} rhs through the device factor (float32)."""
@@ -609,8 +638,11 @@ def chol_solve_dist(kxx: np.ndarray, y: np.ndarray, jitter: float = 0.0,
 
     ``kxx`` must be the full (symmetrised) matrix; it is **consumed**
     (equilibrated in place, like ``solve_gp``).  Returns
-    ``(A, rel_residual, refinement_iterations)`` where ``rel_residual`` is
-    the float64 relative residual of the returned solution.
+    ``(A, rel_residual, refinement_iterations)``; ``rel_residual`` is the
+    float64 relative residual of the **equilibrated** (Jacobi-scaled)
+    system the factor decomposed — the scale-invariant metric for a
+    ~1e12-diagonal Gram.  (``chol_solve_ir32`` measures the raw-space
+    system instead; the two numbers are not directly comparable.)
 
     Refinement stops early once the residual reaches ``tol`` or stops
     improving; ``refine_iters`` is a cap, not a target.

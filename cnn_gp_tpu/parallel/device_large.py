@@ -544,10 +544,11 @@ def classify_device_large(model, train_x, train_y, *splits,
             a = a + factor.solve(r.astype(np.float32)).astype(np.float64)
             r = ys - matvec(a)
             rel = float(np.max(np.linalg.norm(r, axis=0) / y_norm))
+            prev_best = best_rel
             if rel < best_rel:
                 best_a, best_rel = a, rel
-            elif rel > 0.9 * best_rel:
-                break
+            if rel > 0.9 * prev_best:   # <10% progress: at the f32 floor;
+                break                   # each sweep costs an assembly pass
     a_final = s64[:, None] * best_a          # back to the original space
 
     # GP log marginal likelihood (evidence) of the solved system -- model

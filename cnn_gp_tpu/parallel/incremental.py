@@ -34,8 +34,7 @@ from typing import Optional
 import numpy as np
 
 from ..ops import solve as solve_ops
-from .chol_dist import (_ShardedFactor, _blocked_residual_fn, _chunk_starts,
-                        _ir_solve)
+from .chol_dist import _ShardedFactor, _blocked_residual_fn, _ir_solve
 from .gram import compute_gram_diag, gram_in_memory
 from .mesh import make_mesh
 
@@ -50,12 +49,19 @@ class IncrementalGP:
     the padded size, so reserve what will plausibly be used).  ``jitter``
     is relative to the FIRST batch's mean Gram diagonal and stays frozen
     — the same convention as ``classify_device_large``.
+
+    ``n_classes`` pins the score width for streaming use: left at None
+    it is inferred as ``max(labels seen) + 1``, so a class absent from
+    the stream so far cannot be predicted and ``scores()`` widens
+    mid-stream when it first appears.
     """
 
     def __init__(self, model, capacity: int, batch_size: int = 128,
                  block: int = 256, jitter: float = 0.0, mesh=None,
-                 refine_iters: int = 10, tol: float = 1e-10):
+                 refine_iters: int = 10, tol: float = 1e-10,
+                 n_classes: Optional[int] = None):
         self.model = model
+        self.n_classes = n_classes
         self.capacity = int(capacity)
         self.batch_size = batch_size
         self.block = block
@@ -149,7 +155,7 @@ class IncrementalGP:
         `chol_solve_ir32` machinery: blocked float64-upcast residuals
         against the raw float32 Gram, scaled-space correction solves)."""
         n, s = self.n, self._s
-        y64 = solve_ops.one_hot_targets(self._labels)
+        y64 = solve_ops.one_hot_targets(self._labels, self.n_classes)
         residual = _blocked_residual_fn(self._k32[:n, :n], y64,
                                         self._jitter_raw)
 
@@ -167,7 +173,7 @@ class IncrementalGP:
         self._require_data()
         logdet = (2.0 * self._factor.log_diag_sum()
                   - 2.0 * float(np.sum(np.log(self._s))))
-        y64 = solve_ops.one_hot_targets(self._labels)
+        y64 = solve_ops.one_hot_targets(self._labels, self.n_classes)
         n_cls = y64.shape[1]
         return (-0.5 * float(np.sum(y64 * self._alpha))
                 - 0.5 * n_cls * logdet
@@ -199,34 +205,65 @@ class IncrementalGP:
     def classify(self, x) -> np.ndarray:
         return np.argmax(self.scores(x), axis=1)
 
-    def variances(self, x, chunk: int = 512) -> np.ndarray:
-        """GP posterior variances ``k_zz - k_zx (K + jr I)^-1 k_xz``
-        through the live factor: whitened cross-covariance columns by
-        block forward substitution, in bounded ``chunk``-column dispatches
-        (one compiled program shape; the slid-back tail chunk makes the
-        overlapping rewrite idempotent) — the `device_large` recipe, NOT
-        one monolithic [n_pad, n_test] program (CLAUDE.md bounded-program
-        rules).  Valid across extensions because the factor is always the
-        factor of the full current system.  Float32 accumulation floor
-        ~eps32 * k_zz; float64 oracle: ``ops.solve.predictive_variance``."""
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
+    def predict(self, x, chunk: int = 512):
+        """``(scores, variances)`` for one query batch, computing the
+        [nz, n] cross-covariance ONCE — ``classify(z)`` followed by
+        ``variances(z)`` regenerates the full NNGP kernel over nz*n pairs
+        twice, and the kernel sweep is the dominant cost."""
         self._require_data()
         x = np.asarray(x, np.float32)
-        nz = len(x)
+        if len(x) == 0:
+            return (np.zeros((0, self._alpha.shape[1]), np.float64),
+                    np.zeros(0, np.float64))
         kzx = gram_in_memory(self.model, x, self._x,
                              batch_size=self.batch_size)
         kzz = compute_gram_diag(self.model, x, batch_size=self.batch_size,
                                 progress=False).astype(np.float64)
-        cb = min(chunk, nz)
+        return (kzx.astype(np.float64) @ self._alpha,
+                self._variances_from_cross(kzx, kzz, chunk))
+
+    def variances(self, x, chunk: int = 512) -> np.ndarray:
+        """GP posterior variances ``k_zz - k_zx (K + jr I)^-1 k_xz``
+        through the live factor (use :meth:`predict` when scores are also
+        needed — it shares the cross-covariance sweep).  Valid across
+        extensions because the factor is always the factor of the full
+        current system.  Float32 accumulation floor ~eps32 * k_zz;
+        float64 oracle: ``ops.solve.predictive_variance``."""
+        self._require_data()
+        x = np.asarray(x, np.float32)
+        if len(x) == 0:
+            return np.zeros(0, np.float64)
+        kzx = gram_in_memory(self.model, x, self._x,
+                             batch_size=self.batch_size)
+        kzz = compute_gram_diag(self.model, x, batch_size=self.batch_size,
+                                progress=False).astype(np.float64)
+        return self._variances_from_cross(kzx, kzz, chunk)
+
+    def _variances_from_cross(self, kzx, kzz, chunk: int) -> np.ndarray:
+        """Whitened cross-covariance columns by block forward
+        substitution, in bounded column-chunk dispatches — the
+        `device_large` recipe, NOT one monolithic [n_pad, n_test] program
+        (CLAUDE.md bounded-program rules).  The dispatch width is
+        quantised to powers of two (capped at ``chunk``) so repeated
+        queries of varying size reuse a handful of compiled
+        `forward_sumsq` programs instead of one per distinct nz — program
+        shipping dominates on tunneled runtimes.  Tail columns are
+        zero-padded (they whiten to zero and are discarded)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        nz = len(kzx)
+        cb = min(chunk, max(16, 1 << (nz - 1).bit_length()))
+        nz_pad = -(-nz // cb) * cb
         repl = NamedSharding(self.mesh, P())
         w = np.zeros((self._factor.n_pad, cb), np.float32)
-        out = np.empty(nz, np.float64)
-        for c0 in _chunk_starts(nz, cb):
-            w[: self.n] = self._s[:, None] * kzx[c0:c0 + cb].T.astype(
+        sums = np.empty(nz_pad, np.float64)
+        for c0 in range(0, nz_pad, cb):
+            hi = min(c0 + cb, nz)
+            w[: self.n, : hi - c0] = self._s[:, None] * kzx[c0:hi].T.astype(
                 np.float64)
-            sumsq = np.asarray(self._factor.forward_sumsq(
+            if hi - c0 < cb:
+                w[: self.n, hi - c0:] = 0.0
+            sums[c0:c0 + cb] = np.asarray(self._factor.forward_sumsq(
                 jax.device_put(w, repl)), np.float64)
-            out[c0:c0 + cb] = kzz[c0:c0 + cb] - sumsq
-        return np.maximum(out, 0.0)
+        return np.maximum(kzz - sums[:nz], 0.0)

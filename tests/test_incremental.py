@@ -175,3 +175,45 @@ def test_save_posterior_serves_grown_model(model, tmp_path):
     got_v, want_v = pred.variances(z), gp.variances(z)
     scale = float(np.mean([model(x1[:8], diag=True).mean()]))
     assert np.max(np.abs(got_v - want_v)) < 1e-5 * scale
+
+
+def test_n_classes_pinned(model):
+    """A pinned class count keeps the score width stable when early
+    batches lack some classes (inferred mode widens mid-stream)."""
+    x1, _ = _data(40, 30)
+    x2, _ = _data(24, 31)
+    y1 = np.zeros(40, np.int64)          # only class 0 seen first
+    y2 = np.full(24, 3, np.int64)
+    z, _ = _data(6, 32)
+
+    gp = IncrementalGP(model, capacity=64, batch_size=16, block=16,
+                       jitter=1e-6, n_classes=4)
+    gp.add(x1, y1)
+    assert gp.scores(z).shape == (6, 4)  # class 3 predictable already
+    gp.add(x2, y2)
+    assert gp.scores(z).shape == (6, 4)
+
+    gp2 = IncrementalGP(model, capacity=64, batch_size=16, block=16,
+                        jitter=1e-6)
+    gp2.add(x1, y1)
+    assert gp2.scores(z).shape == (6, 1)  # documented inferred-mode drift
+
+
+def test_predict_shares_cross_sweep(model):
+    """predict() == (scores(), variances()) with one kernel sweep; empty
+    batches are served, and odd sizes reuse quantised program shapes."""
+    x1, y1 = _data(40, 33)
+    gp = IncrementalGP(model, capacity=48, batch_size=16, block=16,
+                       jitter=1e-6)
+    gp.add(x1, y1)
+    z, _ = _data(13, 34)
+    s, v = gp.predict(z)
+    np.testing.assert_array_equal(s, gp.scores(z))
+    np.testing.assert_array_equal(v, gp.variances(z))
+    # quantised chunking equals the one-dispatch result exactly
+    np.testing.assert_array_equal(gp.variances(z, chunk=5), v)
+
+    empty = z[:0]
+    s0, v0 = gp.predict(empty)
+    assert s0.shape == (13 * 0, s.shape[1]) and v0.shape == (0,)
+    assert gp.variances(empty).shape == (0,)
