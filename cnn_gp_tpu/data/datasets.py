@@ -46,6 +46,13 @@ class ArrayDataset:
 
     def subset(self, indices) -> "ArrayDataset":
         idx = np.asarray(list(indices), dtype=np.int64)
+        # config split ranges are contiguous (reference: configs/*.py) —
+        # return views then, like the reference's torch Subset, instead
+        # of fancy-indexed copies that would roughly double dataset RAM
+        # on this single-core host (pool + 3 split copies)
+        if len(idx) and np.array_equal(idx, np.arange(idx[0], idx[-1] + 1)):
+            sl = slice(int(idx[0]), int(idx[-1]) + 1)
+            return ArrayDataset(self.images[sl], self.labels[sl])
         return ArrayDataset(self.images[idx], self.labels[idx])
 
 

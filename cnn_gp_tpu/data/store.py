@@ -42,6 +42,33 @@ def _require_h5py():
         raise ImportError("h5py is required for GramStore")
 
 
+def _scan_missing_tiles(shape, bs, read_diag, read_rows,
+                        upper_triangle_only):
+    """Shared NaN-scan over a logical [n] / [n, n2] Gram dataset (both
+    store backends route through this so the integrity semantics cannot
+    drift).  ``read_diag(i, hi) -> [hi-i]``; ``read_rows(i, hi, j0) ->
+    [hi-i, n2-j0]`` — the row stripe is read from column ``j0`` on, so an
+    upper-triangle scan reads half the bytes (the pre-solve
+    ``assert_complete(upper_triangle_only=True)`` over a 50k Kxx is a
+    ~10 GB whole-dataset read otherwise)."""
+    missing = []
+    if len(shape) == 1:
+        for i in range(0, shape[0], bs):
+            if np.isnan(read_diag(i, min(i + bs, shape[0]))).any():
+                missing.append((i, -1))
+    else:
+        n, n2 = shape
+        for i in range(0, n, bs):
+            j0 = i if upper_triangle_only else 0
+            if j0 >= n2:
+                continue
+            row = read_rows(i, min(i + bs, n), j0)
+            for j in range(j0, n2, bs):
+                if np.isnan(row[:, j - j0:j - j0 + bs]).any():
+                    missing.append((i, j))
+    return np.asarray(missing, dtype=np.int64).reshape(-1, 2)
+
+
 class GramStore:
     """One HDF5 file of Gram datasets plus completion bitmaps."""
 
@@ -140,6 +167,11 @@ class GramStore:
             ds = self.f[name]
             shape = tuple(_cdiv(s, self.batch_size(name))
                           for s in ds.shape[1:])
+            if self.f.mode == "r":
+                # read-only consumer of a foreign file: nothing is done
+                # as far as the bitmap knows (the NaN scan is the real
+                # integrity check); lazily creating would raise
+                return np.zeros(shape, np.uint8)
             self.f.create_dataset(key, shape=shape, dtype=np.uint8,
                                   fillvalue=0)
         return self.f[key]
@@ -161,20 +193,11 @@ class GramStore:
         also validates files from other writers)."""
         ds = self.f[name]
         bs = self.batch_size(name)
-        missing = []
-        if ds.ndim == 2:
-            for i in range(0, ds.shape[1], bs):
-                if np.isnan(ds[0, i:i + bs]).any():
-                    missing.append((i, -1))
-        else:
-            for i in range(0, ds.shape[1], bs):
-                row = ds[0, i:i + bs, :]
-                for j in range(0, ds.shape[2], bs):
-                    if upper_triangle_only and j < i:
-                        continue
-                    if np.isnan(row[:, j:j + bs]).any():
-                        missing.append((i, j))
-        return np.asarray(missing, dtype=np.int64).reshape(-1, 2)
+        return _scan_missing_tiles(
+            ds.shape[1:], bs,
+            lambda i, hi: ds[0, i:hi],
+            lambda i, hi, j0: ds[0, i:hi, j0:],
+            upper_triangle_only)
 
     def assert_complete(self, name: str, upper_triangle_only: bool = False):
         miss = self.missing_tiles(name, upper_triangle_only)

@@ -29,7 +29,7 @@ except ImportError:  # pragma: no cover
     ts = None
 
 from ..utils import round_up_div as _cdiv
-from .store import GramStore
+from .store import GramStore, _scan_missing_tiles
 
 __all__ = ["TensorStoreGramStore", "open_store"]
 
@@ -49,11 +49,18 @@ class TensorStoreGramStore:
         self.mode = mode
         self._open = {}
         self._attrs_cache = {}
-        if mode == "w" and "://" not in self.path:
+        if mode == "w":
             # match the h5 backend: 'w' truncates (a stale _done bitmap
-            # would otherwise silently skip all work on the new run)
-            import shutil
-            shutil.rmtree(self.path, ignore_errors=True)
+            # would otherwise silently skip ALL work on the new run and
+            # serve the previous run's kernel values as this run's result)
+            if "://" in self.path:
+                fut = ts.KvStore.open(f"{self.path}/").result().delete_range(
+                    ts.KvStore.KeyRange())
+                if fut is not None:      # await the deletion commit
+                    fut.result()
+            else:
+                import shutil
+                shutil.rmtree(self.path, ignore_errors=True)
 
     def _check_writable(self):
         if self.mode == "r":
@@ -71,7 +78,8 @@ class TensorStoreGramStore:
         self.close()
 
     def _spec(self, name: str, create: bool = False, shape=None,
-              chunks=None, dtype="<f4", fill=float("nan")):
+              chunks=None, dtype="<f4", fill=float("nan"),
+              open_existing: bool = True):
         if "://" in self.path:
             # object-store / URL form (gs://bucket/..., s3://..., memory://)
             kvstore = f"{self.path}/{name}/"
@@ -87,7 +95,10 @@ class TensorStoreGramStore:
                                 "dtype": dtype,
                                 "fill_value": fill}
             spec["create"] = True
-            spec["open"] = True
+            # open=False gives create-only semantics (ALREADY_EXISTS on a
+            # pre-existing array), so _open_or_create can tell winning the
+            # creation race from opening someone else's array
+            spec["open"] = open_existing
         return spec
 
     def _get(self, name: str):
@@ -99,20 +110,6 @@ class TensorStoreGramStore:
     def create(self, name: str, n: int, n2: Optional[int], batch_size: int,
                diag: bool = False):
         self._check_writable()
-        if self.has(name):
-            arr = self._get(name)
-            existing_bs = self.batch_size(name)
-            shape = (n,) if diag else (n, n if n2 is None else n2)
-            if existing_bs != batch_size:
-                raise ValueError(
-                    f"{self.path}/{name} was created with batch_size="
-                    f"{existing_bs}; resuming with batch_size={batch_size} "
-                    f"would corrupt tile-level resume")
-            if tuple(arr.shape) != shape:
-                raise ValueError(
-                    f"{self.path}/{name} has shape {tuple(arr.shape)}, "
-                    f"expected {shape}; dataset size changed between runs")
-            return arr
         if diag:
             shape, chunks = (n,), (min(batch_size, n),)
             done_shape = (_cdiv(n, batch_size),)
@@ -125,13 +122,26 @@ class TensorStoreGramStore:
             done_chunks = (1, 1)
         # one chunk PER done-bit: concurrent workers then never
         # read-modify-write a shared object (the lock-free design claim)
-        arr = self._open_or_create(name, shape, chunks, "<f4",
-                                   float("nan"))
+        arr, created = self._open_or_create(name, shape, chunks, "<f4",
+                                            float("nan"))
         self._open[name] = arr
-        done = self._open_or_create(f"_done/{name}", done_shape,
-                                    done_chunks, "|u1", 0)
+        if created:
+            self._write_attrs(name, {"batch_size": batch_size})
+        else:
+            # pre-existing array (resume, or a concurrent creator won the
+            # race): NEVER overwrite its attrs — a batch-size mismatch
+            # means the shared done bitmap is indexed in different units
+            # and tile-level resume would silently corrupt.  Checked
+            # before the bitmap open so the clear error wins.
+            existing_bs = self.batch_size(name)
+            if existing_bs != batch_size:
+                raise ValueError(
+                    f"{self.path}/{name} was created with batch_size="
+                    f"{existing_bs}; resuming with batch_size={batch_size} "
+                    f"would corrupt tile-level resume")
+        done, _ = self._open_or_create(f"_done/{name}", done_shape,
+                                       done_chunks, "|u1", 0)
         self._open[f"_done/{name}"] = done
-        self._write_attrs(name, {"batch_size": batch_size})
         return arr
 
     def _attrs_path(self, name: str) -> str:
@@ -148,7 +158,11 @@ class TensorStoreGramStore:
         import json
         payload = json.dumps(attrs)
         if "://" in self.path:
-            self._attrs_kvstore(name).write(".zattrs", payload.encode())
+            # .result() the future: an unawaited write can fail silently
+            # or land after the process exits, leaving consumers on the
+            # clamped-chunk batch_size fallback (wrong bitmap units)
+            self._attrs_kvstore(name).write(".zattrs",
+                                            payload.encode()).result()
         else:
             import os
             os.makedirs(os.path.dirname(self._attrs_path(name)),
@@ -179,11 +193,15 @@ class TensorStoreGramStore:
         """Race-tolerant open-or-create: concurrent workers may both try
         to create the same array; the loser opens the winner's -- but only
         if it matches the requested geometry (a mismatch means the store
-        holds a *different* dataset and must not be silently reused)."""
+        holds a *different* dataset and must not be silently reused).
+        Returns ``(array, created)`` so callers can distinguish winning
+        the creation from opening someone else's array."""
         try:
-            return ts.open(self._spec(name, create=True, shape=shape,
-                                      chunks=chunks, dtype=dtype,
-                                      fill=fill)).result()
+            arr = ts.open(self._spec(name, create=True, shape=shape,
+                                     chunks=chunks, dtype=dtype,
+                                     fill=fill,
+                                     open_existing=False)).result()
+            return arr, True
         except Exception as create_err:
             try:
                 arr = ts.open(self._spec(name)).result()
@@ -194,7 +212,7 @@ class TensorStoreGramStore:
                     f"{self.path}/{name} exists with shape "
                     f"{tuple(arr.shape)}, expected {tuple(shape)}"
                 ) from create_err
-            return arr
+            return arr, False
 
     def has(self, name: str) -> bool:
         try:
@@ -211,13 +229,36 @@ class TensorStoreGramStore:
             return int(attrs["batch_size"])
         return int(self._get(name).chunk_layout.read_chunk.shape[-1])
 
+    def _done_arr(self, name: str):
+        """The completion bitmap, lazily created for stores whose array
+        exists without one (foreign zarr tooling, or a crash between the
+        array create and the bitmap create) — mirrors ``GramStore._done``.
+        Returns None for a read-only store lacking the bitmap (nothing is
+        done as far as it knows; the NaN scan is the real check)."""
+        key = f"_done/{name}"
+        if key in self._open:
+            return self._open[key]
+        try:
+            done = self._get(key)
+        except Exception:
+            if self.mode == "r":
+                return None
+            arr = self._get(name)
+            bs = self.batch_size(name)
+            done_shape = tuple(_cdiv(s, bs) for s in arr.shape)
+            done, _ = self._open_or_create(key, done_shape,
+                                           (1,) * len(done_shape),
+                                           "|u1", 0)
+            self._open[key] = done
+        return done
+
     # -- tile IO -----------------------------------------------------------
     def write_tile(self, name: str, i: int, j: Optional[int],
                    block: np.ndarray):
         self._check_writable()
         arr = self._get(name)
         bs = self.batch_size(name)
-        done = self._get(f"_done/{name}")
+        done = self._done_arr(name)
         if j is None:
             arr[i:i + len(block)] = np.asarray(block, np.float32)
             done[i // bs] = np.uint8(1)
@@ -228,7 +269,9 @@ class TensorStoreGramStore:
 
     def tile_done(self, name: str, i: int, j: Optional[int]) -> bool:
         bs = self.batch_size(name)
-        done = self._get(f"_done/{name}")
+        done = self._done_arr(name)
+        if done is None:
+            return False
         if j is None:
             return bool(done[i // bs].read().result())
         return bool(done[i // bs, j // bs].read().result())
@@ -236,13 +279,25 @@ class TensorStoreGramStore:
     def done_mask(self, name: str) -> np.ndarray:
         """Whole completion bitmap in one read (resume filtering over T
         tiles must not issue T point reads)."""
-        return np.asarray(self._get(f"_done/{name}").read().result())
+        done = self._done_arr(name)
+        if done is None:
+            arr = self._get(name)
+            bs = self.batch_size(name)
+            return np.zeros(tuple(_cdiv(s, bs) for s in arr.shape),
+                            np.uint8)
+        return np.asarray(done.read().result())
 
     # -- reading -----------------------------------------------------------
     def read(self, name: str, dtype=np.float32) -> np.ndarray:
         return np.asarray(self._get(name).read().result(), dtype)
 
     def dataset_names(self) -> Iterable[str]:
+        if "://" in self.path:
+            # object-store form: list through the kvstore (there is no
+            # local directory to os.listdir)
+            kv = ts.KvStore.open(f"{self.path}/").result()
+            names = {k.decode().split("/", 1)[0] for k in kv.list().result()}
+            return sorted(n for n in names if n and n != "_done")
         import os
         return [d for d in os.listdir(self.path)
                 if d != "_done" and
@@ -253,23 +308,13 @@ class TensorStoreGramStore:
                       upper_triangle_only: bool = False) -> np.ndarray:
         arr = self._get(name)
         bs = self.batch_size(name)
-        missing = []
-        if arr.ndim == 1:
-            data = self.read(name)
-            for i in range(0, arr.shape[0], bs):
-                if np.isnan(data[i:i + bs]).any():
-                    missing.append((i, -1))
-        else:
-            for i in range(0, arr.shape[0], bs):
-                # tensorstore slices do not clamp to the domain like numpy
-                hi = min(i + bs, arr.shape[0])
-                row = np.asarray(arr[i:hi, :].read().result())
-                for j in range(0, arr.shape[1], bs):
-                    if upper_triangle_only and j < i:
-                        continue
-                    if np.isnan(row[:, j:j + bs]).any():
-                        missing.append((i, j))
-        return np.asarray(missing, dtype=np.int64).reshape(-1, 2)
+        # tensorstore slices do not clamp to the domain like numpy, hence
+        # the explicit hi in the shared scanner's callbacks
+        return _scan_missing_tiles(
+            tuple(arr.shape), bs,
+            lambda i, hi: np.asarray(arr[i:hi].read().result()),
+            lambda i, hi, j0: np.asarray(arr[i:hi, j0:].read().result()),
+            upper_triangle_only)
 
     def assert_complete(self, name: str, upper_triangle_only: bool = False):
         miss = self.missing_tiles(name, upper_triangle_only)
@@ -277,7 +322,7 @@ class TensorStoreGramStore:
             raise RuntimeError(
                 f"{self.path}:{name} has {len(miss)} incomplete tiles, "
                 f"first at element offset {tuple(miss[0])}; rerun assembly "
-                f"to fill them")
+                f"to fill them (tile-level resume will skip finished ones)")
 
 
 def open_store(path: str, mode: str = "a", backend: str = "auto"):

@@ -190,3 +190,19 @@ def test_truncated_images_fail_loudly(fake_mnist):
     _write_idx_images(os.path.join(raw, "train-images-idx3-ubyte"), tr[:7])
     with pytest.raises(ValueError, match="inconsistent|truncated"):
         datasets.load_mnist_arrays(os.path.join(root, "MNIST"))
+
+
+def test_contiguous_subset_is_a_view():
+    """Contiguous split ranges (every shipped config) must not copy: the
+    pool plus three fancy-indexed split copies would double dataset RAM."""
+    from cnn_gp_tpu.data.datasets import ArrayDataset
+    x = np.zeros((10, 1, 2, 2), np.float32)
+    y = np.arange(10)
+    d = ArrayDataset(x, y)
+    sub = d.subset(range(2, 7))
+    assert sub.images.base is x and len(sub) == 5
+    np.testing.assert_array_equal(sub.labels, np.arange(2, 7))
+    gap = d.subset([1, 4, 8])       # non-contiguous still copies
+    assert gap.images.base is not x
+    np.testing.assert_array_equal(gap.labels, [1, 4, 8])
+    assert len(d.subset([])) == 0

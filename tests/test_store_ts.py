@@ -109,3 +109,96 @@ def test_done_mask_bulk_read(tmp_path):
         mask = store.done_mask("Kxx")
         assert mask.shape == (3, 3)
         assert mask[1, 2] == 1 and mask.sum() == 1
+
+
+def test_mode_w_truncates_url_store(tmp_path):
+    """'w' must truncate URL-form (object-store) stores too: a stale
+    array + done bitmap would serve the PREVIOUS run's kernel values as
+    the new run's result with every tile marked complete.  (file:// is
+    the only URL form with shared backing in this egress-free
+    environment; memory:// contexts are isolated per open.)"""
+    url = f"file://{tmp_path}/g"
+    with TensorStoreGramStore(url, "w") as store:
+        store.create("Kxx", 20, None, 10)
+        store.write_tile("Kxx", 0, 0, np.ones((10, 10), np.float32))
+    with TensorStoreGramStore(url, "w") as store:
+        store.create("Kxx", 20, None, 10)
+        assert not store.tile_done("Kxx", 0, 0)
+        assert np.isnan(store.read("Kxx")).all()
+
+
+def test_race_loser_does_not_clobber_attrs(tmp_path):
+    """A second creator with a different batch_size must be refused and
+    must NOT overwrite the winner's batch_size attrs (the shared done
+    bitmap is indexed in the winner's units)."""
+    import pytest
+    path = str(tmp_path / "g")
+    with TensorStoreGramStore(path) as store:
+        store.create("Kxx", 40, None, 10)
+    with TensorStoreGramStore(path) as store2:
+        with pytest.raises(ValueError, match="batch_size=10"):
+            store2.create("Kxx", 40, None, 20)
+    with TensorStoreGramStore(path) as store3:
+        assert store3.batch_size("Kxx") == 10   # attrs intact
+
+
+def test_foreign_array_without_bitmap(tmp_path):
+    """An array created by other zarr tooling (no _done) must be usable:
+    create() resumes onto it, done_mask starts all-zero, write_tile
+    lazily creates the bitmap; a read-only open reports nothing done."""
+    import tensorstore as ts
+    path = str(tmp_path / "g")
+    ts.open({"driver": "zarr",
+             "kvstore": {"driver": "file", "path": f"{path}/Kxx"},
+             "metadata": {"shape": [20, 20], "chunks": [10, 10],
+                          "dtype": "<f4", "fill_value": float("nan")},
+             "create": True}).result()
+
+    with TensorStoreGramStore(path, "r") as ro:
+        assert ro.done_mask("Kxx").sum() == 0
+        assert not ro.tile_done("Kxx", 0, 0)
+
+    with TensorStoreGramStore(path) as store:
+        store.create("Kxx", 20, None, 10)     # resume onto foreign array
+        assert store.done_mask("Kxx").sum() == 0
+        store.write_tile("Kxx", 0, 10, np.ones((10, 10), np.float32))
+        assert store.tile_done("Kxx", 0, 10)
+
+
+def test_dataset_names_url_store(tmp_path):
+    """URL-form stores have no local directory: names come through the
+    kvstore listing."""
+    with TensorStoreGramStore(f"file://{tmp_path}/g", "w") as store:
+        store.create("Kxx", 10, None, 5)
+        store.create("Kv_diag", 10, None, 5, diag=True)
+        assert sorted(store.dataset_names()) == ["Kv_diag", "Kxx"]
+
+
+def test_upper_triangle_scan_matches_full(tmp_path):
+    """The halved-read upper-triangle scan finds exactly the tiles the
+    full scan finds in the upper triangle."""
+    with TensorStoreGramStore(str(tmp_path / "g")) as store:
+        store.create("Kxx", 30, None, 10)
+        store.write_tile("Kxx", 0, 0, np.ones((10, 10), np.float32))
+        store.write_tile("Kxx", 10, 20, np.ones((10, 10), np.float32))
+        full = {tuple(t) for t in store.missing_tiles("Kxx")}
+        upper = {tuple(t) for t in
+                 store.missing_tiles("Kxx", upper_triangle_only=True)}
+        assert upper == {t for t in full if t[1] >= t[0]}
+        assert (10, 0) in full and (10, 0) not in upper
+
+
+def test_h5_readonly_foreign_file_bitmap(tmp_path):
+    """A reference-tooling h5 file (no _done group) opened read-only must
+    report nothing done instead of raising 'no write intent'."""
+    import h5py
+    from cnn_gp_tpu.data.store import GramStore
+    path = str(tmp_path / "ref.h5")
+    with h5py.File(path, "w") as f:
+        ds = f.create_dataset("Kxx", shape=(1, 20, 20), dtype=np.float32,
+                              fillvalue=np.nan, chunks=(1, 10, 10))
+        ds.attrs["batch_size"] = 10
+    with GramStore(path, "r") as store:
+        assert store.done_mask("Kxx").sum() == 0
+        assert not store.tile_done("Kxx", 0, 10)
+        assert len(store.missing_tiles("Kxx")) == 4
