@@ -30,6 +30,7 @@ Design differences from the reference (all deliberate, all TPU-first):
 from __future__ import annotations
 
 import functools
+import operator
 from typing import Optional, Sequence
 
 import jax
@@ -213,9 +214,20 @@ class Conv2d(NNGPKernel):
         # weight distribution exactly.
         self.even_trick = (padding == "same" and kernel_size % 2 == 0)
         if padding == "same":
-            self.padding = self.dilation * (self.kernel_size // 2)
+            # the symmetric component; pad_lo_hi re-derives the even-k
+            # asymmetric pair from the same boxfilter helper
+            self.padding = boxfilter.same_padding(self.kernel_size,
+                                                  self.dilation)[1]
         else:
-            self.padding = int(padding)
+            try:
+                self.padding = operator.index(padding)
+            except TypeError:
+                raise TypeError(
+                    f"Conv2d padding must be 'same' or an int, got "
+                    f"{padding!r}: the finite-width mirror (nn()) and "
+                    f"the reference semantics have no general (lo, hi) "
+                    f"counterpart — call ops.boxfilter.box_filter_2d "
+                    f"directly for asymmetric padding") from None
 
     @property
     def pad_lo_hi(self):

@@ -67,9 +67,11 @@ def symmetrize_from_upper(k: np.ndarray, block: int = 4096) -> np.ndarray:
     would allocate two O(N^2) int64 index arrays (40 GB at N=50k).
     """
     n = k.shape[0]
-    for i0 in range(0, n, block):
-        i1 = min(i0 + block, n)
-        iu = np.triu_indices(i1 - i0, 1)
+    iu_full = np.triu_indices(min(block, n), 1)   # shared by all full
+    for i0 in range(0, n, block):                 # blocks (~134 MB of
+        i1 = min(i0 + block, n)                   # int64 at block=4096 —
+        iu = (iu_full if i1 - i0 == min(block, n)  # not rebuilt per block)
+              else np.triu_indices(i1 - i0, 1))
         diag_blk = k[i0:i1, i0:i1]
         diag_blk[iu[1], iu[0]] = diag_blk[iu]
         for j0 in range(i1, n, block):
@@ -119,6 +121,14 @@ def refine_with_factor(chol, kxx64: np.ndarray, y: np.ndarray,
     y64 = np.asarray(y, np.float64)
     a = np.asarray(_cho_solve32(chol, jnp.asarray(y, jnp.float32)),
                    np.float64)
+    if not np.all(np.isfinite(a)):
+        # lax cholesky returns NaNs silently on a non-PD (or
+        # float32-rounded barely-PD) matrix; argmaxing NaN scores would
+        # then report ~chance accuracy that looks like a modeling result
+        raise np.linalg.LinAlgError(
+            "float32 Cholesky of the Gram produced non-finite solutions "
+            "(matrix not positive-definite at float32?); add jitter or "
+            "use method='scipy'")
     for _ in range(iters):
         r = y64 - kxx64 @ a                     # float64 residual on host
         da = np.asarray(_cho_solve32(chol, jnp.asarray(r, jnp.float32)),
@@ -147,7 +157,13 @@ def solve_gp(kxx: np.ndarray, y: np.ndarray, jitter: float = 0.0,
                             np.asarray(y, np.float64))
     if method == "chol":
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-        return _solve_chol(kxx, y, dtype)
+        a = _solve_chol(kxx, y, dtype)
+        if not np.all(np.isfinite(a)):
+            raise np.linalg.LinAlgError(
+                "Cholesky solve produced non-finite solutions (matrix "
+                "not positive-definite?); add jitter or use "
+                "method='scipy'")
+        return a
     if method == "chol_ir":
         return _solve_chol_ir(kxx, y, iters=refine_iters)
     if method == "chol_dist":
@@ -199,12 +215,16 @@ def predictive_variance(kxx: np.ndarray, kzx: np.ndarray,
 
 
 def log_marginal_likelihood(kxx: np.ndarray, y: np.ndarray,
-                            jitter: float = 0.0) -> float:
+                            jitter_rel: float = 0.0) -> float:
     """Float64 GP log evidence ``log p(y | X)`` summed over target dims:
     ``-1/2 tr(Y^T K'^-1 Y) - C/2 logdet K' - n C/2 log 2pi`` with
-    ``K' = K + jitter * mean(diag K) * I`` (the same *relative*-jitter
-    convention as ``classify_device_large`` and the classify_e2e
-    ``--jitter`` flag, so the two are directly comparable).
+    ``K' = K + jitter_rel * mean(diag K) * I`` — the same
+    *relative*-jitter convention as ``classify_device_large`` and the
+    classify_e2e ``--jitter`` flag, so the two are directly comparable.
+    The parameter is named ``jitter_rel`` (not ``jitter``) on purpose:
+    ``solve_gp``/``predictive_variance`` take ABSOLUTE jitter, and on a
+    ~1e12-diagonal NNGP Gram the same number means wildly different
+    regularisation under the two conventions.
 
     The reference framework computes no evidence anywhere; this is the
     host oracle for the device-factor version
@@ -215,8 +235,8 @@ def log_marginal_likelihood(kxx: np.ndarray, y: np.ndarray,
     import scipy.linalg
     kxx = np.array(kxx, np.float64)
     y = np.asarray(y, np.float64)
-    if jitter:
-        diag_add(kxx, jitter * float(np.mean(np.diagonal(kxx))))
+    if jitter_rel:
+        diag_add(kxx, jitter_rel * float(np.mean(np.diagonal(kxx))))
     c, low = scipy.linalg.cho_factor(kxx, lower=True, check_finite=False,
                                      overwrite_a=True)
     alpha = scipy.linalg.cho_solve((c, low), y, check_finite=False)

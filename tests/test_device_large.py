@@ -406,7 +406,7 @@ def test_log_evidence_matches_oracle(mesh, small_model):
         accs, info = classify_device_large(
             small_model, tr_x, tr_y, (te_x, te_y),
             batch_size=8, block=8, jitter=jitter, mesh=mesh, verbose=False)
-        want = solve.log_marginal_likelihood(kxx, y, jitter=jitter)
+        want = solve.log_marginal_likelihood(kxx, y, jitter_rel=jitter)
         assert np.isfinite(info["log_evidence"])
         np.testing.assert_allclose(info["log_evidence"], want,
                                    rtol=5e-4, atol=5e-3 * abs(want))

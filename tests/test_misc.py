@@ -226,3 +226,17 @@ def test_default_cache_dir_gating(monkeypatch):
             jax.config.update("jax_platforms", platforms)
     finally:
         jax.config.update("jax_compilation_cache_dir", original)
+
+
+def test_conv2d_padding_spec_errors():
+    """Tuple/float padding is refused with a clear message (the finite
+    mirror has no asymmetric-padding counterpart), numpy ints accepted."""
+    import numpy as np
+    import pytest
+    import cnn_gp_tpu as G
+    with pytest.raises(TypeError, match="asymmetric"):
+        G.Conv2d(3, padding=(1, 2))
+    with pytest.raises(TypeError, match="asymmetric"):
+        G.Conv2d(3, padding=1.5)
+    assert G.Conv2d(3, padding=np.int64(2)).padding == 2
+    assert G.Conv2d(4).pad_lo_hi == (1, 2)    # even-k "same" asymmetry

@@ -85,3 +85,30 @@ def test_end_to_end_synthetic_classification(method):
     res = solve.classify(kxx, tr_y, jitter=1e-6, method=method,
                          test=(kzx, te_y))
     assert res["test"] > 0.9, res
+
+
+def test_chol_methods_refuse_non_pd():
+    """float32 lax Cholesky returns NaN silently on a non-PD matrix;
+    chol/chol_ir must raise (argmaxing NaN scores would report ~chance
+    accuracy that looks like a modeling result) like scipy does."""
+    rng = np.random.RandomState(0)
+    q, _ = np.linalg.qr(rng.randn(16, 16))
+    k = (q * np.r_[np.full(15, 1.0), -1e-4]) @ q.T   # one negative eigval
+    y = solve.one_hot_targets(rng.randint(0, 3, 16))
+    for method in ("chol", "chol_ir"):
+        with pytest.raises(np.linalg.LinAlgError, match="jitter"):
+            solve.solve_gp(k.copy(), y, method=method)
+
+
+def test_evidence_jitter_is_relative():
+    """log_marginal_likelihood's jitter_rel scales by mean(diag): explicit
+    check against the absolute-jitter construction."""
+    rng = np.random.RandomState(1)
+    a = rng.randn(12, 12)
+    k = a @ a.T + 12 * np.eye(12)
+    y = solve.one_hot_targets(rng.randint(0, 2, 12))
+    jr = 1e-3
+    want = solve.log_marginal_likelihood(
+        k + jr * np.mean(np.diagonal(k)) * np.eye(12), y)
+    got = solve.log_marginal_likelihood(k, y, jitter_rel=jr)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
