@@ -53,9 +53,11 @@ def main(_):
     accs, info = classify_device_large(
         model, tr_x, tr_y, *splits,
         batch_size=FLAGS.batch_size, block=FLAGS.block,
-        refine_iters=FLAGS.refine_iters, variances=FLAGS.variances)
+        refine_iters=FLAGS.refine_iters,
+        residual_check=FLAGS.residual_check, variances=FLAGS.variances)
     wall = time.perf_counter() - t0
-    print(f"accs {accs} wall {wall:.1f}s rel {info['rel_residual']:.2e} "
+    est = "~" if info["rel_residual_estimated"] else ""
+    print(f"accs {accs} wall {wall:.1f}s rel {est}{info['rel_residual']:.2e} "
           f"(unrefined {info['rel_residual_unrefined']:.2e}) "
           f"refinements {info['refinements']} "
           f"log_evidence {info['log_evidence']:.6g} "
@@ -144,6 +146,10 @@ if __name__ == "__main__":
                      "refinement sweeps cap; 0 = solve once and report "
                      "the residual of the unrefined iterate (each sweep "
                      "costs ~ one assembly pass)")
+    f.DEFINE_enum("residual_check", "sampled", ["sampled", "full"],
+                  "'sampled' estimates the residual on ~1024 rows and "
+                  "escalates to the exact sweep only near tol; 'full' "
+                  "always pays the exact assembly-priced sweep")
     f.DEFINE_boolean("variances", False,
                      "also compute matrix-free GP posterior variances "
                      "(compared against the float64 oracle under "

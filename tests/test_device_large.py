@@ -455,3 +455,99 @@ def test_model_selection_script(tmp_path):
     # every reported evidence must be finite (printed as a number,
     # not nan/inf)
     assert "nan" not in out and "inf" not in out, out
+
+
+def test_rows_matvec_matches_explicit(small_model):
+    """Selected block-rows of the sampled-residual matvec must equal the
+    corresponding rows of the explicit scaled system (pad rows included:
+    the pinned unit diagonal maps zero-padded weights to zero)."""
+    from cnn_gp_tpu import settings
+    from cnn_gp_tpu.parallel.device_large import _rows_matvec
+    from cnn_gp_tpu.parallel.gram import _pad_to_multiple
+    import jax
+    import jax.numpy as jnp
+    n, b = 70, 16
+    x, _, _, _ = synthetic_arrays(n_train=n, n_test=0, shape=(1, 7, 7))
+    k = np.asarray(gram_in_memory(small_model, x, batch_size=b,
+                                  progress=False), np.float64)
+    s = (1.0 / np.sqrt(np.diagonal(k))).astype(np.float32)
+    m = s[:, None] * k * s[None, :]
+    np.fill_diagonal(m, 1.0)
+    a = np.random.RandomState(5).randn(n, 3).astype(np.float32)
+    x_all = jnp.asarray(_pad_to_multiple(np.asarray(x, np.float32), b))
+    m_pad = x_all.shape[0]
+    s_pad = np.ones(m_pad, np.float32)
+    s_pad[:n] = s
+    a_pad = np.zeros((m_pad, 3), np.float32)
+    a_pad[:n] = a
+    want = m @ a
+    rows_idx = np.asarray([0, 2, 4])          # strict subset of 5 blocks
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(_rows_matvec(
+            small_model, x_all, jnp.asarray(s_pad), jnp.asarray(a_pad),
+            rows_idx, b, n, settings.snapshot(), tiles_per_call=7))
+    for pos, i in enumerate(rows_idx):
+        i0 = int(i) * b
+        hi = min(i0 + b, n)
+        np.testing.assert_allclose(got[pos * b:pos * b + (hi - i0)],
+                                   want[i0:hi], rtol=2e-5, atol=2e-5)
+        if hi < i0 + b:                        # pad rows map to zero
+            assert (got[pos * b + (hi - i0):(pos + 1) * b] == 0).all()
+
+
+def test_sampled_residual_accept_path(mesh, small_model):
+    """With a clearing tol the sampled check accepts without a full
+    sweep: the reported residual is flagged as an estimate, refinement
+    never fires, and predictions are identical to the exact-check run.
+    The estimate itself must agree with the exact residual to within
+    sampling noise (both measure the same f32-floor quantity)."""
+    tr_x, tr_y, te_x, te_y = synthetic_arrays(
+        n_train=160, n_test=16, shape=(1, 7, 7), seed=21)
+    kw = dict(batch_size=16, block=16, mesh=mesh, tol=1.0,
+              refine_iters=3, verbose=False)
+    accs_s, info_s = classify_device_large(
+        small_model, tr_x, tr_y, (te_x, te_y),
+        residual_check="sampled", residual_sample_rows=48, **kw)
+    accs_f, info_f = classify_device_large(
+        small_model, tr_x, tr_y, (te_x, te_y),
+        residual_check="full", **kw)
+    assert info_s["rel_residual_estimated"] is True
+    assert info_s["refinements"] == 0
+    assert info_s["rel_residual"] == info_s["rel_residual_sampled"] > 0.0
+    assert info_f["rel_residual_estimated"] is False
+    np.testing.assert_array_equal(info_s["predictions"][0],
+                                  info_f["predictions"][0])
+    assert accs_s == accs_f
+    # loose band: the residual is f32 accumulation noise, so two
+    # measurement paths (sampled-scaled vs full) agree only to sampling
+    # + summation-order noise; an order of magnitude is the contract
+    ratio = info_s["rel_residual"] / info_f["rel_residual"]
+    assert 0.1 < ratio < 10.0, (info_s["rel_residual"],
+                                info_f["rel_residual"])
+
+
+def test_sampled_residual_escalates(mesh, small_model):
+    """Near/below tol the sampled check must escalate: refinement
+    decisions are made on the EXACT residual, never on the estimate."""
+    tr_x, tr_y, te_x, te_y = synthetic_arrays(
+        n_train=48, n_test=8, shape=(1, 7, 7), seed=7)
+    accs, info = classify_device_large(
+        small_model, tr_x, tr_y, (te_x, te_y),
+        batch_size=16, block=16, mesh=mesh, tol=0.0, refine_iters=2,
+        residual_check="sampled", verbose=False)
+    assert info["rel_residual_estimated"] is False
+    assert info["rel_residual_sampled"] is not None   # estimate was taken
+    assert info["rel_residual"] <= info["rel_residual_unrefined"]
+    # the exact-check contract of the escalated path
+    _, info_f = classify_device_large(
+        small_model, tr_x, tr_y, (te_x, te_y),
+        batch_size=16, block=16, mesh=mesh, tol=0.0, refine_iters=2,
+        residual_check="full", verbose=False)
+    np.testing.assert_array_equal(info["predictions"][0],
+                                  info_f["predictions"][0])
+
+
+def test_residual_check_validation():
+    with pytest.raises(ValueError, match="residual_check"):
+        classify_device_large(None, np.zeros((4, 1, 7, 7)), np.zeros(4),
+                              residual_check="bogus")
