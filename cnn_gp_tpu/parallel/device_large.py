@@ -532,9 +532,13 @@ def classify_device_large(model, train_x, train_y, *splits,
     ``residual_sample_rows`` evenly-spread rows (~4% of one sweep at 50k)
     and accepts the solve outright only when the scaled estimate clears
     ``0.7 * tol``; otherwise it **escalates to the exact check** and the
-    normal refinement loop, so refinement decisions are never made on an
-    estimate.  When the accept fast-path fires, ``info["rel_residual"]``
-    is the estimate and ``info["rel_residual_estimated"]`` is True; pass
+    normal refinement loop, so refinement *corrections* are always
+    computed from exact residuals.  One more sweep is sampled away: the
+    residual after the final permitted correction is only ever reported
+    (nothing consumes it), so it too is estimated.  Whenever the reported
+    ``info["rel_residual"]`` is an estimate,
+    ``info["rel_residual_estimated"]`` is True (the last sampled estimate
+    is always in ``info["rel_residual_sampled"]``); pass
     ``residual_check="full"`` for the always-exact round-2 behaviour.
 
     ``jitter`` is relative to the mean Gram diagonal (the same
@@ -646,6 +650,20 @@ def classify_device_large(model, train_x, train_y, *splits,
                 iters += 1
                 a = a + factor.solve(
                     r.astype(np.float32)).astype(np.float64)
+                if iters == refine_iters and residual_check == "sampled":
+                    # the residual after the LAST correction is only ever
+                    # reported (no further correction consumes r), so the
+                    # sampled estimate suffices — this is the other full
+                    # sweep the 60k default run used to pay purely for a
+                    # report line
+                    rel = _sampled_residual(model, x_all, s_dev, a, ys,
+                                            y_norm, b, n, snap,
+                                            residual_sample_rows)
+                    rel_sampled = rel
+                    if rel < best_rel:
+                        best_a, best_rel = a, rel
+                        estimated = True
+                    break
                 r = ys - matvec(a)
                 rel = float(np.max(np.linalg.norm(r, axis=0) / y_norm))
                 prev_best = best_rel

@@ -22,8 +22,22 @@ __all__ = ["probe_tpu", "wait_for_tpu"]
 
 # Executes, not just initialises: only a host fetch (np.asarray) truly
 # syncs remote execution on this platform (block_until_ready does not).
+# JAX_PLATFORMS is re-applied via jax.config first: the axon
+# sitecustomize registers its backend at interpreter start and (as of
+# round 3) the env var alone no longer forces the platform — the same
+# reason cnn_gp_tpu.__init__ re-applies it.  Without this, a CPU-forced
+# caller (tests, a deliberate CPU bench env) would "find" the tunnel TPU
+# and defeat the gate this probe exists for.
 _PROBE_CODE = (
-    "import jax, numpy as np\n"
+    "import os, jax, numpy as np\n"
+    "p = os.environ.get('JAX_PLATFORMS')\n"
+    "if p:\n"
+    "    try:\n"
+    "        import jax.extend\n"
+    "        jax.extend.backend.clear_backends()\n"
+    "    except Exception:\n"
+    "        pass\n"
+    "    jax.config.update('jax_platforms', p)\n"
     "assert jax.default_backend() == 'tpu', jax.default_backend()\n"
     "x = jax.numpy.ones((128, 128))\n"
     "np.asarray(x @ x)\n"

@@ -528,21 +528,26 @@ def test_sampled_residual_accept_path(mesh, small_model):
 
 def test_sampled_residual_escalates(mesh, small_model):
     """Near/below tol the sampled check must escalate: refinement
-    decisions are made on the EXACT residual, never on the estimate."""
+    *corrections* are computed from exact residuals (only the initial
+    accept gate and the after-final-correction report use estimates)."""
     tr_x, tr_y, te_x, te_y = synthetic_arrays(
         n_train=48, n_test=8, shape=(1, 7, 7), seed=7)
     accs, info = classify_device_large(
         small_model, tr_x, tr_y, (te_x, te_y),
         batch_size=16, block=16, mesh=mesh, tol=0.0, refine_iters=2,
         residual_check="sampled", verbose=False)
-    assert info["rel_residual_estimated"] is False
+    assert info["refinements"] >= 1                   # escalation happened
     assert info["rel_residual_sampled"] is not None   # estimate was taken
     assert info["rel_residual"] <= info["rel_residual_unrefined"]
-    # the exact-check contract of the escalated path
+    if info["rel_residual_estimated"]:    # report-only final estimate won
+        assert info["rel_residual"] == info["rel_residual_sampled"]
+    # the exact-correction contract of the escalated path: predictions
+    # match the always-exact run
     _, info_f = classify_device_large(
         small_model, tr_x, tr_y, (te_x, te_y),
         batch_size=16, block=16, mesh=mesh, tol=0.0, refine_iters=2,
         residual_check="full", verbose=False)
+    assert info_f["rel_residual_estimated"] is False
     np.testing.assert_array_equal(info["predictions"][0],
                                   info_f["predictions"][0])
 
