@@ -361,8 +361,16 @@ def _xz_scaled_chunk_jit(w, model, x_all, z_blk, s_pad, offsets, b, n,
     return lax.scan(body, w, offsets)[0]
 
 
+@functools.partial(jax.jit)
+def _wt_a_jit(w, a_pad):
+    """``W^T @ a`` — the query scores riding the variance pass's scaled
+    cross block: ``W[i, c] = s_i K(x_i, z_c)`` and ``a = alpha / s``, so
+    ``(W^T a)[c] = sum_i K(z_c, x_i) alpha_i = (K_zx @ alpha)[c]``."""
+    return w.T @ a_pad
+
+
 def _predictive_variances(factor, model, x_all, z_all, s_pad_dev, kzz,
-                          b, n, snap, cb: int = 512):
+                          b, n, snap, cb: int = 512, a_pad_dev=None):
     """Matrix-free GP posterior variances through the device factor:
     ``var_z = k_zz - || L^-1 (s * k_xz) ||^2`` (the factor is of the
     equilibrated ``M = D^-1/2 (K + jr I) D^-1/2``, so the s-scaled cross
@@ -370,7 +378,13 @@ def _predictive_variances(factor, model, x_all, z_all, s_pad_dev, kzz,
     bounded [n_pad, cb] block and never exist in full; accuracy is the
     float32 accumulation floor (~eps32 * k_zz absolute — fine for
     ranking/calibration, not for tiny variances under a ~1e12 kernel
-    scale)."""
+    scale).
+
+    With ``a_pad_dev`` ([n_pad, C], the scaled solution ``alpha / s``
+    zero-padded), each regenerated cross block is ALSO contracted into
+    the query scores ``K_zx @ alpha`` — the same blocks the predict
+    phase would otherwise regenerate a second time (~an assembly-priced
+    pass per split at 50k).  Returns ``(variances, scores)`` then."""
     m_pad = z_all.shape[0]
     n_pad = factor.n_pad
     # column-block width: a multiple of the tile size b (tile writes must
@@ -379,6 +393,8 @@ def _predictive_variances(factor, model, x_all, z_all, s_pad_dev, kzz,
     # m_pad is itself a multiple of b
     cb = min(max(b, (cb // b) * b), m_pad)
     out = np.empty(m_pad, np.float32)
+    sc = (np.empty((m_pad, a_pad_dev.shape[1]), np.float32)
+          if a_pad_dev is not None else None)
     offsets = _rect_offsets(n, cb, b)
     with jax.default_matmul_precision("highest"):
         for c0 in _chunk_starts(m_pad, cb):  # slide-back: idempotent
@@ -386,8 +402,11 @@ def _predictive_variances(factor, model, x_all, z_all, s_pad_dev, kzz,
             w = _xz_scaled_chunk_jit(w, model, x_all,
                                      lax.slice_in_dim(z_all, c0, c0 + cb),
                                      s_pad_dev, offsets, b, n, snap)
+            if sc is not None:
+                sc[c0:c0 + cb] = np.asarray(_wt_a_jit(w, a_pad_dev))
             out[c0:c0 + cb] = np.asarray(factor.forward_sumsq(w))
-    return np.maximum(np.asarray(kzz, np.float64)[:m_pad] - out, 0.0)
+    var = np.maximum(np.asarray(kzz, np.float64)[:m_pad] - out, 0.0)
+    return var if sc is None else (var, sc)
 
 
 def gram_matvec_regen(model, X, a: np.ndarray, *, batch_size: int = 128,
@@ -484,19 +503,36 @@ def rebuild_factor(model, train_x, scalings, *, batch_size: int = 128,
 
 
 def variances_from_factor(factor, model, x_all, s_dev, xz, b: int, n: int,
-                          snap) -> np.ndarray:
+                          snap, a_scaled: Optional[np.ndarray] = None):
     """Matrix-free GP posterior variances for one query split through a
     live factor (empty-split safe): kzz by bounded diagonal scan, then
-    whitened regenerated cross-columns (`_predictive_variances`)."""
+    whitened regenerated cross-columns (`_predictive_variances`).
+
+    With ``a_scaled`` (the [n, C] scaled solution ``alpha / s``), the
+    query scores ``K_zx @ alpha`` ride the same regenerated cross blocks
+    and ``(variances, scores)`` is returned — saving the predict phase's
+    second regeneration pass over this split."""
     if len(xz) == 0:    # tracing a b-sized slice of a 0-row z_all is a
-        return np.zeros(0, np.float64)               # trace-time TypeError
+        empty = np.zeros(0, np.float64)               # trace-time TypeError
+        if a_scaled is None:
+            return empty
+        return empty, np.zeros((0, a_scaled.shape[1]), np.float32)
     z_all = jnp.asarray(_pad_to_multiple(np.asarray(xz, np.float32), b))
     mz = z_all.shape[0]
     kzz = np.asarray(_diag_scan_jit(
         model, z_all, jnp.asarray(np.arange(0, mz, b, dtype=np.int32)),
         b, n, mz, snap), np.float64)
-    return _predictive_variances(factor, model, x_all, z_all, s_dev, kzz,
-                                 b, n, snap)[: len(xz)]
+    a_pad_dev = None
+    if a_scaled is not None:
+        a_pad = np.zeros((factor.n_pad, a_scaled.shape[1]), np.float32)
+        a_pad[:n] = a_scaled
+        a_pad_dev = jnp.asarray(a_pad)
+    out = _predictive_variances(factor, model, x_all, z_all, s_dev, kzz,
+                                b, n, snap, a_pad_dev=a_pad_dev)
+    if a_scaled is None:
+        return out[: len(xz)]
+    var, sc = out
+    return var[: len(xz)], sc[: len(xz)]
 
 
 def classify_device_large(model, train_x, train_y, *splits,
@@ -688,22 +724,36 @@ def classify_device_large(model, train_x, train_y, *splits,
                     - 0.5 * n * n_cls * np.log(2.0 * np.pi))
     tick("solve+refine")
 
-    # 4b. optional predictive variances -- needs the live factor
+    # 4b. optional predictive variances -- needs the live factor.  The
+    # query scores K_zx @ alpha ride the same regenerated cross blocks
+    # (variances_from_factor a_scaled=...), so the predict phase below
+    # has nothing left to sweep for these splits — one regeneration pass
+    # serves both outputs instead of two (~an assembly-priced pass saved
+    # per split at 50k; BASELINE.md CIFAR row paid predict 288s on top
+    # of variances 525s for the same blocks).
     var_list = None
+    split_scores = None
     if variances:
-        var_list = [variances_from_factor(factor, model, x_all, s_dev,
-                                          xz, b, n, snap)
-                    for xz, _ in splits]
-        tick("variances")
+        a32 = best_a.astype(np.float32)          # scaled space: alpha / s
+        out = [variances_from_factor(factor, model, x_all, s_dev,
+                                     xz, b, n, snap, a_scaled=a32)
+               for xz, _ in splits]
+        var_list = [v for v, _ in out]
+        split_scores = [s_ for _, s_ in out]
+        tick("variances+scores")
 
     factor.l_loc = factor.diags = None       # release ~N^2 HBM for scoring
     factor._solvers.clear()
 
     # 5. per-split scores via regeneration; only [n_split, C] is fetched
+    # (already contracted during the variance pass when variances=True)
     accs, preds = [], []
-    for xz, labels in splits:
-        scores = scores_regen(model, xz, train_x,
-                              a_final.astype(np.float32), batch_size=b)
+    for idx, (xz, labels) in enumerate(splits):
+        if split_scores is not None:
+            scores = split_scores[idx]
+        else:
+            scores = scores_regen(model, xz, train_x,
+                                  a_final.astype(np.float32), batch_size=b)
         preds.append(np.argmax(scores, axis=1))
         accs.append(solve_ops.accuracy(preds[-1], np.asarray(labels)))
     tick("predict")

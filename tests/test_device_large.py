@@ -556,3 +556,31 @@ def test_residual_check_validation():
     with pytest.raises(ValueError, match="residual_check"):
         classify_device_large(None, np.zeros((4, 1, 7, 7)), np.zeros(4),
                               residual_check="bogus")
+
+
+def test_fused_variance_scores_match_predict_sweep(mesh, small_model):
+    """With variances=True the split scores ride the variance pass's
+    regenerated cross blocks; they must match the standalone predict
+    sweep (and the explicit K_zx @ alpha) — same predictions, scores
+    within f32 accumulation noise."""
+    tr_x, tr_y, te_x, te_y = synthetic_arrays(
+        n_train=52, n_test=18, shape=(1, 7, 7), seed=9)
+    kw = dict(batch_size=8, block=8, jitter=1e-4, mesh=mesh, verbose=False)
+    accs_v, info_v = classify_device_large(
+        small_model, tr_x, tr_y, (te_x, te_y), variances=True, **kw)
+    accs_p, info_p = classify_device_large(
+        small_model, tr_x, tr_y, (te_x, te_y), variances=False, **kw)
+    np.testing.assert_array_equal(info_v["predictions"][0],
+                                  info_p["predictions"][0])
+    assert accs_v == accs_p
+    # and against the explicit float64 route
+    kzx = np.asarray(gram_in_memory(small_model, te_x, tr_x, batch_size=8,
+                                    progress=False), np.float64)
+    want = kzx @ info_v["alpha"]
+    got = scores_regen(small_model, te_x, tr_x,
+                       info_v["alpha"].astype(np.float32), batch_size=8)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=3e-5 * scale)
+    # the fused path reproduces the same argmax as the f64 scores
+    np.testing.assert_array_equal(info_v["predictions"][0],
+                                  np.argmax(want, axis=1))

@@ -158,3 +158,23 @@ def test_bad_alpha_rank_refused(tmp_path):
     x = np.zeros((4, 1, 5, 5), np.float32)
     with pytest.raises(ValueError, match="n_classes"):
         save_posterior(tmp_path / "r1", train_x=x, alpha=np.zeros(4))
+
+
+@pytest.mark.slow
+def test_serving_bench_script():
+    """scripts/serving_bench smoke: solves a tiny synthetic posterior,
+    measures mean + variance query throughput, prints the JSON line."""
+    import json
+    import subprocess
+    import sys
+    out = subprocess.run(
+        [sys.executable, "-m", "scripts.serving_bench",
+         "--n_train=64", "--batch_size=16", "--block=16",
+         "--query_batch=16", "--rounds=2", "--config=mnist_as_tf"],
+        capture_output=True, text=True, timeout=900,
+        cwd="/root/repo").stdout
+    line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+    d = json.loads(line)
+    assert d["n_train"] == 64
+    assert d["mean_queries_per_s"] > 0
+    assert d["variance_queries_per_s"] > 0
