@@ -38,6 +38,7 @@ def main(_):
             batch_size=FLAGS.batch_size, block=FLAGS.block,
             jitter=FLAGS.jitter, refine_iters=FLAGS.refine_iters,
             residual_check=FLAGS.residual_check,
+            residual_accept_frac=FLAGS.residual_accept_frac,
             variances=FLAGS.variances)
         variances = info["variances"]
         est = "~" if info["rel_residual_estimated"] else ""
@@ -98,8 +99,13 @@ if __name__ == "__main__":
                   "with --large: 'sampled' measures the solve residual on "
                   "~1024 evenly-spread rows (~4% of a full regeneration "
                   "sweep at 50k) and escalates to the exact check only "
-                  "when the estimate is within 30% of tol; 'full' always "
-                  "pays the exact assembly-priced sweep")
+                  "when the estimate is within the accept margin of tol; "
+                  "'full' always pays the exact assembly-priced sweep")
+    f.DEFINE_float("residual_accept_frac", 0.85,
+                   "with --large: the sampled estimate must clear this "
+                   "fraction of tol to skip the exact sweep (margin "
+                   "against row-sampling error; calibration in "
+                   "BASELINE.md)")
     f.DEFINE_string("save_posterior", "",
                     "with --large: persist the solved posterior (O(N) "
                     "artifact) to this path for re-solve-free serving via "

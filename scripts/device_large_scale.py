@@ -54,11 +54,15 @@ def main(_):
         model, tr_x, tr_y, *splits,
         batch_size=FLAGS.batch_size, block=FLAGS.block,
         refine_iters=FLAGS.refine_iters,
-        residual_check=FLAGS.residual_check, variances=FLAGS.variances)
+        residual_check=FLAGS.residual_check,
+        residual_accept_frac=FLAGS.residual_accept_frac,
+        variances=FLAGS.variances)
     wall = time.perf_counter() - t0
     est = "~" if info["rel_residual_estimated"] else ""
+    sampled = (f"sampled {info['rel_residual_sampled']:.2e} "
+               if info["rel_residual_sampled"] is not None else "")
     print(f"accs {accs} wall {wall:.1f}s rel {est}{info['rel_residual']:.2e} "
-          f"(unrefined {info['rel_residual_unrefined']:.2e}) "
+          f"(unrefined {info['rel_residual_unrefined']:.2e}) {sampled}"
           f"refinements {info['refinements']} "
           f"log_evidence {info['log_evidence']:.6g} "
           f"timings {info['timings_s']}",
@@ -150,6 +154,9 @@ if __name__ == "__main__":
                   "'sampled' estimates the residual on ~1024 rows and "
                   "escalates to the exact sweep only near tol; 'full' "
                   "always pays the exact assembly-priced sweep")
+    f.DEFINE_float("residual_accept_frac", 0.85,
+                   "sampled estimate must clear this fraction of tol to "
+                   "skip the exact sweep (margin against sampling error)")
     f.DEFINE_boolean("variances", False,
                      "also compute matrix-free GP posterior variances "
                      "(compared against the float64 oracle under "

@@ -556,6 +556,42 @@ def test_residual_check_validation():
     with pytest.raises(ValueError, match="residual_check"):
         classify_device_large(None, np.zeros((4, 1, 7, 7)), np.zeros(4),
                               residual_check="bogus")
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="residual_accept_frac"):
+            classify_device_large(None, np.zeros((4, 1, 7, 7)),
+                                  np.zeros(4), residual_accept_frac=bad)
+
+
+def test_residual_accept_frac_gates_the_sweep(mesh, small_model):
+    """The accept margin is the only thing between a sampled accept and
+    an exact-sweep escalation: with a tol that puts the estimate inside
+    (frac_lo * tol, frac_hi * tol), frac_lo escalates (exact residual
+    reported) and frac_hi accepts (estimate reported, no refinement)."""
+    tr_x, tr_y, te_x, te_y = synthetic_arrays(
+        n_train=160, n_test=16, shape=(1, 7, 7), seed=21)
+    kw = dict(batch_size=16, block=16, mesh=mesh, refine_iters=3,
+              residual_check="sampled", residual_sample_rows=48,
+              verbose=False)
+    # measure the estimate once with an always-clearing tol
+    _, probe = classify_device_large(
+        small_model, tr_x, tr_y, (te_x, te_y), tol=1.0, **kw)
+    est = probe["rel_residual_sampled"]
+    assert est > 0.0
+    tol = est / 0.8                   # estimate sits at 0.8 * tol
+    accs_hi, info_hi = classify_device_large(
+        small_model, tr_x, tr_y, (te_x, te_y), tol=tol,
+        residual_accept_frac=0.9, **kw)
+    accs_lo, info_lo = classify_device_large(
+        small_model, tr_x, tr_y, (te_x, te_y), tol=tol,
+        residual_accept_frac=0.5, **kw)
+    assert info_hi["rel_residual_estimated"] is True    # 0.8 <= 0.9: accept
+    assert info_hi["refinements"] == 0
+    assert info_lo["rel_residual_estimated"] is False   # 0.8 > 0.5: escalate
+    assert info_lo["rel_residual_unrefined"] is not None
+    # same solve either way: identical predictions and accuracies
+    np.testing.assert_array_equal(info_hi["predictions"][0],
+                                  info_lo["predictions"][0])
+    assert accs_hi == accs_lo
 
 
 def test_fused_variance_scores_match_predict_sweep(mesh, small_model):

@@ -217,3 +217,24 @@ def test_predict_shares_cross_sweep(model):
     s0, v0 = gp.predict(empty)
     assert s0.shape == (13 * 0, s.shape[1]) and v0.shape == (0,)
     assert gp.variances(empty).shape == (0,)
+
+
+@pytest.mark.slow
+def test_incremental_bench_script():
+    """scripts/incremental_bench smoke: the add(m)-vs-refit benchmark
+    runs end to end at tiny n, gates posterior agreement itself, and
+    prints its JSON line."""
+    import json
+    import subprocess
+    import sys
+    out = subprocess.run(
+        [sys.executable, "-m", "scripts.incremental_bench",
+         "--n=64", "--m=16", "--n_test=16", "--batch_size=16",
+         "--block=16", "--config=mnist_as_tf"],
+        capture_output=True, text=True, timeout=900,
+        cwd="/root/repo").stdout
+    line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+    d = json.loads(line)
+    assert d["n"] == 64 and d["m"] == 16
+    assert d["pred_agreement"] == 1.0
+    assert d["add_s"] > 0 and d["refit_s"] > 0
