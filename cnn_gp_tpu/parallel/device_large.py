@@ -294,9 +294,18 @@ def _sampled_residual(model, x_all, s_dev, a64, ys, y_norm, b, n, snap,
     ~``sample_rows`` evenly-spread rows and scale the norm by
     ``sqrt(n / n_sampled)`` (the f32-accumulation residual this estimates
     is noise-like and spread across rows — validated against the full
-    sweep in tests/test_device_large.py).  Costs ``k/nt`` of one full
-    regeneration sweep (~4% at N=50k with the 1024-row default) instead
-    of the ~assembly-priced full matvec the exact check pays."""
+    sweep in tests/test_device_large.py; measured error 0.8-0.9% at
+    50k/60k).  Costs ``k/nt`` of one full regeneration sweep (~4% at
+    N=50k with the 1024-row default) instead of the ~assembly-priced
+    full matvec the exact check pays.
+
+    Returns ``(rel, rel_ucb)``: the point estimate and an upper
+    confidence bound that prices the estimator's OWN sampling error from
+    the data — per sampled block-row, the per-row mean-square residual
+    is one draw; the bound inflates the across-block mean by 3 standard
+    errors before the norm (so the gate needs no fixed safety fraction).
+    When the sample covers every row the estimate is exact and
+    ``rel_ucb == rel``."""
     nt_n = -(-n // b)
     k = min(nt_n, max(1, -(-sample_rows // b)))
     rows_idx = _sample_row_blocks(nt_n, k)
@@ -307,11 +316,27 @@ def _sampled_residual(model, x_all, s_dev, a64, ys, y_norm, b, n, snap,
                        b, n, snap)
     ma = np.asarray(out, np.float64)
     rows = (rows_idx[:, None] * b + np.arange(b)[None, :]).reshape(-1)
-    valid = rows < n
-    r_s = ys[rows[valid]] - ma[valid]
-    n_s = int(valid.sum())
-    scale = np.sqrt(n / n_s)
-    return float(np.max(scale * np.linalg.norm(r_s, axis=0) / y_norm))
+    valid = (rows < n).reshape(len(rows_idx), b)
+    r2 = np.zeros((len(rows_idx) * b, ys.shape[1]), np.float64)
+    r2[valid.reshape(-1)] = np.square(
+        ys[rows[valid.reshape(-1)]] - ma[valid.reshape(-1)])
+    # per-block per-row mean-square residual: one draw per sampled block
+    n_j = valid.sum(axis=1)                            # rows per block
+    keep = n_j > 0
+    s_jc = (r2.reshape(len(rows_idx), b, -1).sum(axis=1)[keep]
+            / n_j[keep, None])                         # [k', C]
+    n_s = int(n_j.sum())
+    mu = r2.sum(axis=0) / n_s                          # == (scale*||r||)²/n
+    rel = float(np.max(np.sqrt(n * mu) / y_norm))
+    if n_s >= n:                                       # full coverage: exact
+        return rel, rel
+    k_eff = int(keep.sum())
+    if k_eff < 2:                                      # no spread estimate
+        return rel, float("inf")                       # -> always escalate
+    se = s_jc.std(axis=0, ddof=1) / np.sqrt(k_eff)
+    mu_ucb = mu + 3.0 * se
+    rel_ucb = float(np.max(np.sqrt(n * mu_ucb) / y_norm))
+    return rel, rel_ucb
 
 
 @functools.partial(jax.jit, donate_argnums=0, static_argnames=("b", "snap"))
@@ -542,7 +567,7 @@ def classify_device_large(model, train_x, train_y, *splits,
                           variances: bool = False,
                           residual_check: str = "sampled",
                           residual_sample_rows: int = 1024,
-                          residual_accept_frac: float = 0.85,
+                          residual_accept_frac: float = 1.0,
                           verbose: bool = True):
     """GP classification at scales where nothing N^2 may leave the device.
 
@@ -567,9 +592,10 @@ def classify_device_large(model, train_x, train_y, *splits,
     that in every measured run sat at the f32 accumulation floor.  The
     default ``"sampled"`` measures the residual exactly on
     ``residual_sample_rows`` evenly-spread rows (~4% of one sweep at 50k)
-    and accepts the solve outright only when the scaled estimate clears
-    ``residual_accept_frac * tol``; otherwise it **escalates to the
-    exact check** and the
+    and accepts the solve outright only when the estimate's upper
+    confidence bound (estimate + 3 standard errors of its own
+    across-block spread) clears ``residual_accept_frac * tol``;
+    otherwise it **escalates to the exact check** and the
     normal refinement loop, so refinement *corrections* are always
     computed from exact residuals.  One more sweep is sampled away: the
     residual after the final permitted correction is only ever reported
@@ -579,17 +605,20 @@ def classify_device_large(model, train_x, train_y, *splits,
     is always in ``info["rel_residual_sampled"]``); pass
     ``residual_check="full"`` for the always-exact round-2 behaviour.
 
-    ``residual_accept_frac`` is the accept margin guarding against the
-    estimator's sampling error: the estimate must clear this fraction of
-    ``tol`` for the exact sweep to be skipped.  Calibrated at paper
-    scale (N=50k, 8 of 391 block-rows sampled): estimate 6.66e-5 vs
-    exact 6.61e-5 — 0.8% relative error — so the default 0.85 margin is
-    ~19 measured estimator errors of headroom while no longer paying a
-    ~240 s exact sweep to re-confirm an estimate sitting at 0.83*tol
-    (BASELINE.md "Sampled-residual estimator calibration").  At small N
-    the sampler covers most-or-all block rows (k = min(n_blocks,
-    sample_rows/b)), so the estimate only gets MORE exact as the margin
-    matters less.
+    ``residual_accept_frac`` scales the accept threshold:
+    ``rel_ucb <= residual_accept_frac * tol`` skips the exact sweep.
+    The estimator's sampling error is priced by the bound itself (one
+    mean-square-residual draw per sampled block-row, across-block
+    standard error, +3 SE), so the default is 1.0 — ``tol`` already IS
+    the acceptance criterion, and a fixed safety fraction would
+    double-count the error the bound measures.  Calibration at paper
+    scale (BASELINE.md "Sampled-residual estimator calibration"):
+    estimate vs exact 6.66e-5/6.61e-5 at 50k and 7.92e-5/7.99e-5 at 60k
+    — 0.8-0.9% error, well inside the bound.  At small N the sampler
+    covers every row (k = min(n_blocks, sample_rows/b)) and the
+    "estimate" is exact (``rel_ucb == rel``).  Lower the fraction for
+    extra conservatism; with fewer than 2 sampled blocks no spread is
+    measurable and the check always escalates.
 
     ``jitter`` is relative to the mean Gram diagonal (the same
     scale-normalised convention as ``classify_device`` and the
@@ -684,13 +713,13 @@ def classify_device_large(model, train_x, train_y, *splits,
     with jax.default_matmul_precision("highest"):
         a = factor.solve(ys.astype(np.float32)).astype(np.float64)
         estimated = False
-        rel_sampled = None
+        rel_sampled = rel_ucb = None
         iters = 0
         if residual_check == "sampled":
-            rel_sampled = _sampled_residual(model, x_all, s_dev, a, ys,
-                                            y_norm, b, n, snap,
-                                            residual_sample_rows)
-            if rel_sampled <= residual_accept_frac * tol:
+            rel_sampled, rel_ucb = _sampled_residual(
+                model, x_all, s_dev, a, ys, y_norm, b, n, snap,
+                residual_sample_rows)
+            if rel_ucb <= residual_accept_frac * tol:
                 best_a, best_rel = a, rel_sampled   # clear accept: skip
                 rel_unrefined = rel_sampled         # the full sweep
                 estimated = True
@@ -709,9 +738,9 @@ def classify_device_large(model, train_x, train_y, *splits,
                     # sampled estimate suffices — this is the other full
                     # sweep the 60k default run used to pay purely for a
                     # report line
-                    rel = _sampled_residual(model, x_all, s_dev, a, ys,
-                                            y_norm, b, n, snap,
-                                            residual_sample_rows)
+                    rel, _ = _sampled_residual(model, x_all, s_dev, a, ys,
+                                               y_norm, b, n, snap,
+                                               residual_sample_rows)
                     rel_sampled = rel
                     if rel < best_rel:
                         best_a, best_rel = a, rel
@@ -778,6 +807,7 @@ def classify_device_large(model, train_x, train_y, *splits,
     info = {"rel_residual": best_rel, "rel_residual_unrefined": rel_unrefined,
             "rel_residual_estimated": estimated,
             "rel_residual_sampled": rel_sampled,
+            "rel_residual_sampled_ucb": rel_ucb,
             "refinements": iters,
             "n": n, "n_pad": n_pad, "block": block, "predictions": preds,
             "variances": var_list,

@@ -101,11 +101,11 @@ if __name__ == "__main__":
                   "sweep at 50k) and escalates to the exact check only "
                   "when the estimate is within the accept margin of tol; "
                   "'full' always pays the exact assembly-priced sweep")
-    f.DEFINE_float("residual_accept_frac", 0.85,
-                   "with --large: the sampled estimate must clear this "
-                   "fraction of tol to skip the exact sweep (margin "
-                   "against row-sampling error; calibration in "
-                   "BASELINE.md)")
+    f.DEFINE_float("residual_accept_frac", 1.0,
+                   "with --large: the sampled estimate's +3-SE upper "
+                   "confidence bound must clear this fraction of tol to "
+                   "skip the exact sweep (the bound prices the sampling "
+                   "error itself; lower for extra conservatism)")
     f.DEFINE_string("save_posterior", "",
                     "with --large: persist the solved posterior (O(N) "
                     "artifact) to this path for re-solve-free serving via "

@@ -61,6 +61,8 @@ def main(_):
     est = "~" if info["rel_residual_estimated"] else ""
     sampled = (f"sampled {info['rel_residual_sampled']:.2e} "
                if info["rel_residual_sampled"] is not None else "")
+    if info.get("rel_residual_sampled_ucb") is not None:
+        sampled += f"(ucb {info['rel_residual_sampled_ucb']:.2e}) "
     print(f"accs {accs} wall {wall:.1f}s rel {est}{info['rel_residual']:.2e} "
           f"(unrefined {info['rel_residual_unrefined']:.2e}) {sampled}"
           f"refinements {info['refinements']} "
@@ -154,9 +156,10 @@ if __name__ == "__main__":
                   "'sampled' estimates the residual on ~1024 rows and "
                   "escalates to the exact sweep only near tol; 'full' "
                   "always pays the exact assembly-priced sweep")
-    f.DEFINE_float("residual_accept_frac", 0.85,
-                   "sampled estimate must clear this fraction of tol to "
-                   "skip the exact sweep (margin against sampling error)")
+    f.DEFINE_float("residual_accept_frac", 1.0,
+                   "the sampled estimate's +3-SE upper confidence bound "
+                   "must clear this fraction of tol to skip the exact "
+                   "sweep (the bound prices the sampling error itself)")
     f.DEFINE_boolean("variances", False,
                      "also compute matrix-free GP posterior variances "
                      "(compared against the float64 oracle under "

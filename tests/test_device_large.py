@@ -563,21 +563,23 @@ def test_residual_check_validation():
 
 
 def test_residual_accept_frac_gates_the_sweep(mesh, small_model):
-    """The accept margin is the only thing between a sampled accept and
-    an exact-sweep escalation: with a tol that puts the estimate inside
-    (frac_lo * tol, frac_hi * tol), frac_lo escalates (exact residual
-    reported) and frac_hi accepts (estimate reported, no refinement)."""
+    """The accept gate compares the estimate's +3-SE upper confidence
+    bound against frac * tol: with a tol that puts the bound at
+    0.8 * tol, frac 0.9 accepts (estimate reported, no refinement) and
+    frac 0.5 escalates (exact residual reported)."""
     tr_x, tr_y, te_x, te_y = synthetic_arrays(
         n_train=160, n_test=16, shape=(1, 7, 7), seed=21)
     kw = dict(batch_size=16, block=16, mesh=mesh, refine_iters=3,
               residual_check="sampled", residual_sample_rows=48,
               verbose=False)
-    # measure the estimate once with an always-clearing tol
+    # measure the estimate + bound once with an always-clearing tol
     _, probe = classify_device_large(
         small_model, tr_x, tr_y, (te_x, te_y), tol=1.0, **kw)
-    est = probe["rel_residual_sampled"]
-    assert est > 0.0
-    tol = est / 0.8                   # estimate sits at 0.8 * tol
+    est, ucb = (probe["rel_residual_sampled"],
+                probe["rel_residual_sampled_ucb"])
+    assert ucb >= est > 0.0           # the bound prices sampling error
+    assert np.isfinite(ucb)          # 3 sampled blocks -> measurable SE
+    tol = ucb / 0.8                   # bound sits at 0.8 * tol
     accs_hi, info_hi = classify_device_large(
         small_model, tr_x, tr_y, (te_x, te_y), tol=tol,
         residual_accept_frac=0.9, **kw)
@@ -586,12 +588,37 @@ def test_residual_accept_frac_gates_the_sweep(mesh, small_model):
         residual_accept_frac=0.5, **kw)
     assert info_hi["rel_residual_estimated"] is True    # 0.8 <= 0.9: accept
     assert info_hi["refinements"] == 0
+    assert info_hi["rel_residual"] == info_hi["rel_residual_sampled"]
     assert info_lo["rel_residual_estimated"] is False   # 0.8 > 0.5: escalate
     assert info_lo["rel_residual_unrefined"] is not None
     # same solve either way: identical predictions and accuracies
     np.testing.assert_array_equal(info_hi["predictions"][0],
                                   info_lo["predictions"][0])
     assert accs_hi == accs_lo
+
+
+def test_sampled_ucb_exact_when_fully_covered(mesh, small_model):
+    """When sample_rows covers every block the estimate is the exact
+    residual and the bound collapses onto it (no sampling error to
+    price)."""
+    tr_x, tr_y, te_x, te_y = synthetic_arrays(
+        n_train=48, n_test=8, shape=(1, 7, 7), seed=3)
+    _, info = classify_device_large(
+        small_model, tr_x, tr_y, (te_x, te_y), batch_size=16, block=16,
+        mesh=mesh, tol=1.0, refine_iters=1, residual_check="sampled",
+        residual_sample_rows=1024, verbose=False)
+    assert info["rel_residual_estimated"] is True
+    assert (info["rel_residual_sampled_ucb"]
+            == info["rel_residual_sampled"] > 0.0)
+    # and the "estimate" matches the full-sweep residual (different
+    # program => different f32 summation order; the residual IS that
+    # accumulation noise, so a band is the honest contract)
+    _, info_f = classify_device_large(
+        small_model, tr_x, tr_y, (te_x, te_y), batch_size=16, block=16,
+        mesh=mesh, tol=1.0, refine_iters=1, residual_check="full",
+        verbose=False)
+    ratio = info["rel_residual_sampled"] / info_f["rel_residual"]
+    assert 0.5 < ratio < 2.0, ratio
 
 
 def test_fused_variance_scores_match_predict_sweep(mesh, small_model):
