@@ -300,14 +300,22 @@ def _sampled_residual(model, x_all, s_dev, a64, ys, y_norm, b, n, snap,
     full matvec the exact check pays.
 
     Returns ``(rel, rel_ucb)``: the point estimate and an upper
-    confidence bound that prices the estimator's OWN sampling error from
-    the data — per sampled block-row, the per-row mean-square residual
-    is one draw; the bound inflates the across-block mean by 3 standard
-    errors before the norm (so the gate needs no fixed safety fraction).
-    When the sample covers every row the estimate is exact and
-    ``rel_ucb == rel``."""
+    confidence bound that prices the estimator's OWN measurement spread
+    from the data — per sampled block-row, the per-row mean-square
+    residual is one draw; the bound inflates the across-block mean by 3
+    standard errors before the norm (so the gate needs no fixed safety
+    fraction).  The spread is computed from FULL blocks only (a partial
+    tail block is a fewer-row, higher-variance draw that would inflate
+    it) and applies even when the sample covers every row — a
+    full-coverage "estimate" is exact for THIS measurement program, but
+    the exact `_matvec_scan` sweep accumulates in a different order and
+    the quantity being measured IS f32 accumulation noise, so the
+    spread still prices how far another measurement could land.  Fewer
+    than 2 full sampled blocks => no measurable spread =>
+    ``rel_ucb = inf`` (the caller escalates; `_sample_block_count` lets
+    it skip the sampled pass entirely in that case)."""
     nt_n = -(-n // b)
-    k = min(nt_n, max(1, -(-sample_rows // b)))
+    k = _sample_block_count(n, b, sample_rows)
     rows_idx = _sample_row_blocks(nt_n, k)
     m_pad = x_all.shape[0]
     a_pad = np.zeros((m_pad, a64.shape[1]), np.float32)
@@ -322,21 +330,26 @@ def _sampled_residual(model, x_all, s_dev, a64, ys, y_norm, b, n, snap,
         ys[rows[valid.reshape(-1)]] - ma[valid.reshape(-1)])
     # per-block per-row mean-square residual: one draw per sampled block
     n_j = valid.sum(axis=1)                            # rows per block
-    keep = n_j > 0
-    s_jc = (r2.reshape(len(rows_idx), b, -1).sum(axis=1)[keep]
-            / n_j[keep, None])                         # [k', C]
+    full = n_j == b                                    # spread: full blocks
+    s_jc = (r2.reshape(len(rows_idx), b, -1).sum(axis=1)[full]
+            / b)                                       # [k_full, C]
     n_s = int(n_j.sum())
     mu = r2.sum(axis=0) / n_s                          # == (scale*||r||)²/n
     rel = float(np.max(np.sqrt(n * mu) / y_norm))
-    if n_s >= n:                                       # full coverage: exact
-        return rel, rel
-    k_eff = int(keep.sum())
-    if k_eff < 2:                                      # no spread estimate
+    k_full = int(full.sum())
+    if k_full < 2:                                     # no spread estimate
         return rel, float("inf")                       # -> always escalate
-    se = s_jc.std(axis=0, ddof=1) / np.sqrt(k_eff)
+    se = s_jc.std(axis=0, ddof=1) / np.sqrt(k_full)
     mu_ucb = mu + 3.0 * se
     rel_ucb = float(np.max(np.sqrt(n * mu_ucb) / y_norm))
     return rel, rel_ucb
+
+
+def _sample_block_count(n: int, b: int, sample_rows: int) -> int:
+    """Block-rows `_sampled_residual` will measure — host-side, so the
+    caller can skip the sampled pass when the gate could never accept
+    (fewer than 2 FULL sampled blocks => rel_ucb is always inf)."""
+    return min(-(-n // b), max(1, -(-sample_rows // b)))
 
 
 @functools.partial(jax.jit, donate_argnums=0, static_argnames=("b", "snap"))
@@ -616,9 +629,11 @@ def classify_device_large(model, train_x, train_y, *splits,
     estimate vs exact 6.66e-5/6.61e-5 at 50k and 7.92e-5/7.99e-5 at 60k
     — 0.8-0.9% error, well inside the bound.  At small N the sampler
     covers every row (k = min(n_blocks, sample_rows/b)) and the
-    "estimate" is exact (``rel_ucb == rel``).  Lower the fraction for
-    extra conservatism; with fewer than 2 sampled blocks no spread is
-    measurable and the check always escalates.
+    "estimate" is exact for this measurement program, with the bound
+    still pricing across-block spread.  Lower the fraction for extra
+    conservatism; with fewer than 2 FULL sampled blocks no spread is
+    measurable, so the sampled pass is skipped and the run goes
+    straight to the exact check.
 
     ``jitter`` is relative to the mean Gram diagonal (the same
     scale-normalised convention as ``classify_device`` and the
@@ -715,7 +730,13 @@ def classify_device_large(model, train_x, train_y, *splits,
         estimated = False
         rel_sampled = rel_ucb = None
         iters = 0
-        if residual_check == "sampled":
+        # the gate can only ever accept with >=2 FULL sampled blocks (a
+        # partial tail block is excluded from the spread estimate, and
+        # the last block is always sampled) — otherwise skip the sampled
+        # pass instead of paying it just to escalate anyway
+        k_full = (_sample_block_count(n, b, residual_sample_rows)
+                  - (1 if n % b else 0))
+        if residual_check == "sampled" and k_full >= 2:
             rel_sampled, rel_ucb = _sampled_residual(
                 model, x_all, s_dev, a, ys, y_norm, b, n, snap,
                 residual_sample_rows)
@@ -738,10 +759,11 @@ def classify_device_large(model, train_x, train_y, *splits,
                     # sampled estimate suffices — this is the other full
                     # sweep the 60k default run used to pay purely for a
                     # report line
-                    rel, _ = _sampled_residual(model, x_all, s_dev, a, ys,
-                                               y_norm, b, n, snap,
-                                               residual_sample_rows)
-                    rel_sampled = rel
+                    rel, rel_ucb = _sampled_residual(
+                        model, x_all, s_dev, a, ys, y_norm, b, n, snap,
+                        residual_sample_rows)   # keep (estimate, bound)
+                    rel_sampled = rel           # paired in info
+
                     if rel < best_rel:
                         best_a, best_rel = a, rel
                         estimated = True

@@ -569,9 +569,11 @@ def test_residual_accept_frac_gates_the_sweep(mesh, small_model):
     frac 0.5 escalates (exact residual reported)."""
     tr_x, tr_y, te_x, te_y = synthetic_arrays(
         n_train=160, n_test=16, shape=(1, 7, 7), seed=21)
-    kw = dict(batch_size=16, block=16, mesh=mesh, refine_iters=3,
+    kw = dict(batch_size=16, block=16, mesh=mesh, refine_iters=0,
               residual_check="sampled", residual_sample_rows=48,
-              verbose=False)
+              verbose=False)   # refine_iters=0: the gate is the ONLY
+    # behavioural difference between the two runs below (an escalated
+    # run that also refined could legitimately change predictions)
     # measure the estimate + bound once with an always-clearing tol
     _, probe = classify_device_large(
         small_model, tr_x, tr_y, (te_x, te_y), tol=1.0, **kw)
@@ -597,10 +599,28 @@ def test_residual_accept_frac_gates_the_sweep(mesh, small_model):
     assert accs_hi == accs_lo
 
 
+def test_sampled_pass_skipped_when_gate_cannot_accept(mesh, small_model):
+    """With <2 full sampled blocks the bound is unmeasurable, so the
+    sampled pass is skipped outright (no wasted device work) and the
+    run goes straight to the exact check."""
+    tr_x, tr_y, te_x, te_y = synthetic_arrays(
+        n_train=160, n_test=16, shape=(1, 7, 7), seed=5)
+    _, info = classify_device_large(
+        small_model, tr_x, tr_y, (te_x, te_y), batch_size=16, block=16,
+        mesh=mesh, tol=1.0, refine_iters=0, residual_check="sampled",
+        residual_sample_rows=16, verbose=False)   # k=1 block only
+    assert info["rel_residual_sampled"] is None
+    assert info["rel_residual_sampled_ucb"] is None
+    assert info["rel_residual_estimated"] is False   # exact check ran
+    assert info["rel_residual"] == info["rel_residual_unrefined"] > 0.0
+
+
 def test_sampled_ucb_exact_when_fully_covered(mesh, small_model):
     """When sample_rows covers every block the estimate is the exact
-    residual and the bound collapses onto it (no sampling error to
-    price)."""
+    residual for this measurement program; the bound still prices the
+    across-block spread (summation-order noise between programs), so it
+    sits above the estimate but stays finite and accepts under a
+    clearing tol."""
     tr_x, tr_y, te_x, te_y = synthetic_arrays(
         n_train=48, n_test=8, shape=(1, 7, 7), seed=3)
     _, info = classify_device_large(
@@ -609,7 +629,8 @@ def test_sampled_ucb_exact_when_fully_covered(mesh, small_model):
         residual_sample_rows=1024, verbose=False)
     assert info["rel_residual_estimated"] is True
     assert (info["rel_residual_sampled_ucb"]
-            == info["rel_residual_sampled"] > 0.0)
+            >= info["rel_residual_sampled"] > 0.0)
+    assert np.isfinite(info["rel_residual_sampled_ucb"])
     # and the "estimate" matches the full-sweep residual (different
     # program => different f32 summation order; the residual IS that
     # accumulation noise, so a band is the honest contract)

@@ -227,12 +227,13 @@ def test_incremental_bench_script():
     import json
     import subprocess
     import sys
-    out = subprocess.run(
+    proc = subprocess.run(
         [sys.executable, "-m", "scripts.incremental_bench",
          "--n=64", "--m=16", "--n_test=16", "--batch_size=16",
          "--block=16", "--config=mnist_as_tf"],
-        capture_output=True, text=True, timeout=900,
-        cwd="/root/repo").stdout
+        capture_output=True, text=True, timeout=900, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
     line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
     d = json.loads(line)
     assert d["n"] == 64 and d["m"] == 16
