@@ -16,15 +16,29 @@ device-resident blocked factor grows **in place**
 and the GP log evidence is re-read from the live factor's diagonal, so
 model monitoring is free at every step.
 
-Host-memory envelope: the raw float32 Gram is retained on host for the
-refinement matvec (same footprint class as `chol_solve_ir32` and the
-reference's own classify), so this module targets the regime where a
-[capacity, capacity] float32 fits on host.  The buffer is allocated ONCE
-at construction (np.zeros is lazily paged, so resident size grows with
-the data actually ingested) and extensions write new rows/columns in
-place — no per-add reallocation or O(N^2) copy.  The factor itself is
-row-sharded on the mesh.  For the nothing-O(N^2)-on-host regime use
-`classify_device_large`, which trades incrementality for regeneration.
+Host-memory envelope — two modes:
+
+* ``retain_gram=True`` (default): the raw float32 Gram is retained on
+  host for the refinement matvec (same footprint class as
+  `chol_solve_ir32` and the reference's own classify), so refinement
+  residuals are float64-exact and this mode targets the regime where a
+  [capacity, capacity] float32 fits on host.  The buffer is allocated
+  ONCE at construction (np.zeros is lazily paged, so resident size
+  grows with the data actually ingested) and extensions write new
+  rows/columns in place — no per-add reallocation or O(N^2) copy.
+* ``retain_gram=False``: nothing O(N^2) stays resident on the host —
+  refinement residuals are measured in scaled space through float32
+  tile *regeneration* (`device_large.gram_matvec_regen`, the same
+  arithmetic `classify_device_large` refines against), at one
+  kernel-sweep cost per residual evaluation and a residual floor of
+  float32 accumulation (~1e-6 relative; the retained mode reaches
+  1e-10).  Predictions agree with the retained mode to that floor
+  (tests/test_incremental.py::test_retain_gram_false_matches_retained).
+  Transients remain: the first batch's [n0, n0] Gram and each
+  extension's [m, n] cross block.
+
+The factor itself is row-sharded on the mesh in both modes.  For batch
+(non-incremental) large-N classification use `classify_device_large`.
 """
 
 from __future__ import annotations
@@ -54,12 +68,18 @@ class IncrementalGP:
     it is inferred as ``max(labels seen) + 1``, so a class absent from
     the stream so far cannot be predicted and ``scores()`` widens
     mid-stream when it first appears.
+
+    ``retain_gram=False`` drops the resident [capacity, capacity] host
+    Gram: refinement residuals are then measured through float32 tile
+    regeneration (see the module docstring for the accuracy/cost
+    trade).
     """
 
     def __init__(self, model, capacity: int, batch_size: int = 128,
                  block: int = 256, jitter: float = 0.0, mesh=None,
                  refine_iters: int = 10, tol: float = 1e-10,
-                 n_classes: Optional[int] = None):
+                 n_classes: Optional[int] = None,
+                 retain_gram: bool = True):
         self.model = model
         self.n_classes = n_classes
         self.capacity = int(capacity)
@@ -73,8 +93,10 @@ class IncrementalGP:
         self._labels = None
         # raw float32 Gram, preallocated at full capacity (lazily paged:
         # resident memory grows with ingested data, and extensions never
-        # reallocate or copy the old [n, n] block)
-        self._k32 = np.zeros((self.capacity, self.capacity), np.float32)
+        # reallocate or copy the old [n, n] block); None in the
+        # nothing-O(N^2)-resident mode
+        self._k32 = (np.zeros((self.capacity, self.capacity), np.float32)
+                     if retain_gram else None)
         self._s = None                    # float64 equilibration scalings
         self._jitter_raw = None
         self._factor: Optional[_ShardedFactor] = None
@@ -117,7 +139,8 @@ class IncrementalGP:
         # scaling with s from diag+jitter and the pinned unit diagonal IS
         # the equilibrated K + jitter_raw I (jitter is diagonal-only)
         f.factorize_scaled(k32, s.astype(np.float32))
-        self._k32[:n, :n] = k32
+        if self._k32 is not None:
+            self._k32[:n, :n] = k32
         self._x, self._labels = x, labels
         self._s, self._factor = s, f
 
@@ -143,28 +166,61 @@ class IncrementalGP:
         # non-PD extension, and then no host state has changed either
         self._factor.extend(b_s, c_s.astype(np.float32))
 
-        self._k32[n:n + m, :n] = b_raw
-        self._k32[:n, n:n + m] = b_raw.T
-        self._k32[n:n + m, n:n + m] = c_raw
+        if self._k32 is not None:
+            self._k32[n:n + m, :n] = b_raw
+            self._k32[:n, n:n + m] = b_raw.T
+            self._k32[n:n + m, n:n + m] = c_raw
         self._x = np.concatenate([self._x, x])
         self._labels = np.concatenate([self._labels, labels])
         self._s = np.concatenate([self._s, s_new])
 
     def _resolve(self):
         """Posterior weights by float32 factor solve + float64 IR (the
-        `chol_solve_ir32` machinery: blocked float64-upcast residuals
-        against the raw float32 Gram, scaled-space correction solves)."""
+        `chol_solve_ir32` machinery).  With the retained Gram, residuals
+        are blocked float64 upcasts of the raw float32 matrix (raw
+        space, scaled-space correction solves); without it, residuals
+        are measured in scaled space through float32 tile regeneration
+        — the `classify_device_large` arithmetic, one kernel sweep per
+        evaluation, floor ~float32 accumulation."""
         n, s = self.n, self._s
         y64 = solve_ops.one_hot_targets(self._labels, self.n_classes)
-        residual = _blocked_residual_fn(self._k32[:n, :n], y64,
-                                        self._jitter_raw)
+        if self._k32 is not None:
+            residual = _blocked_residual_fn(self._k32[:n, :n], y64,
+                                            self._jitter_raw)
+
+            def precond(r64):
+                return s[:, None] * self._factor.solve(
+                    (s[:, None] * r64).astype(np.float32)
+                ).astype(np.float64)
+
+            self._alpha, self.rel_residual, self.refinements = _ir_solve(
+                precond, residual, y64, self.refine_iters, self.tol)
+            return
+
+        from .device_large import gram_matvec_regen
+
+        ys = s[:, None] * y64
+        y_norm = np.linalg.norm(ys, axis=0)
+        y_norm[y_norm == 0] = 1.0
+
+        def residual(a_s):
+            # M a_s via regenerated scaled tiles (pinned unit diagonal
+            # IS the +jitter in scaled space — same matrix the factor
+            # holds); accumulation is float32, which sets the floor
+            ma = gram_matvec_regen(self.model, self._x,
+                                   a_s.astype(np.float32),
+                                   batch_size=self.batch_size,
+                                   s=s).astype(np.float64)
+            r = ys - ma
+            return r, float(np.max(np.linalg.norm(r, axis=0) / y_norm))
 
         def precond(r64):
-            return s[:, None] * self._factor.solve(
-                (s[:, None] * r64).astype(np.float32)).astype(np.float64)
+            return self._factor.solve(
+                r64.astype(np.float32)).astype(np.float64)
 
-        self._alpha, self.rel_residual, self.refinements = _ir_solve(
-            precond, residual, y64, self.refine_iters, self.tol)
+        a_s, self.rel_residual, self.refinements = _ir_solve(
+            precond, residual, ys, self.refine_iters, self.tol)
+        self._alpha = s[:, None] * a_s
 
     def log_evidence(self) -> float:
         """GP log marginal likelihood of the current training set, read

@@ -91,6 +91,51 @@ def test_variances_match_oracle(model):
     assert (got >= 0).all()
 
 
+def test_retain_gram_false_matches_retained(model):
+    """The nothing-O(N^2)-resident mode (refinement residuals through
+    float32 tile regeneration) agrees with the retained-Gram mode to the
+    float32 accumulation floor at every step — identical predictions,
+    matching evidence, and bit-identical variances (the factor is built
+    the same way in both modes)."""
+    xs, ys = zip(*[_data(n, seed) for n, seed in ((48, 40), (20, 41))])
+    z, _ = _data(12, 42)
+
+    kw = dict(capacity=96, batch_size=16, block=16, jitter=1e-6)
+    gp_r = IncrementalGP(model, **kw)
+    gp_f = IncrementalGP(model, retain_gram=False, **kw)
+    assert gp_f._k32 is None and gp_r._k32 is not None
+
+    for x, y in zip(xs, ys):
+        info_r = gp_r.add(x, y)
+        info_f = gp_f.add(x, y)
+        assert info_r["rel_residual"] < 1e-10
+        # regen residual floor: float32 accumulation, far above 1e-10
+        # but far below anything that moves a prediction
+        assert info_f["rel_residual"] < 1e-4
+        err = (np.max(np.abs(gp_f._alpha - gp_r._alpha))
+               / np.max(np.abs(gp_r._alpha)))
+        assert err < 1e-4, err
+        assert (abs(info_f["log_evidence"] - info_r["log_evidence"])
+                < 1e-3 * abs(info_r["log_evidence"]))
+
+    np.testing.assert_array_equal(gp_f.classify(z), gp_r.classify(z))
+    np.testing.assert_array_equal(gp_f.variances(z), gp_r.variances(z))
+
+
+def test_retain_gram_false_serves(model, tmp_path):
+    """A posterior grown without the resident Gram persists and serves."""
+    from cnn_gp_tpu.serving import GPPredictor, load_posterior
+
+    x1, y1 = _data(40, 44)
+    z, _ = _data(8, 45)
+    gp = IncrementalGP(model, capacity=48, batch_size=16, block=16,
+                       jitter=1e-6, retain_gram=False)
+    gp.add(x1, y1)
+    path = gp.save_posterior(tmp_path / "lean")
+    pred = GPPredictor(model, load_posterior(path), batch_size=16)
+    np.testing.assert_array_equal(pred.classify(z), gp.classify(z))
+
+
 def test_capacity_enforced(model):
     x, y = _data(30, 3)
     gp = IncrementalGP(model, capacity=20, batch_size=16, block=16)
