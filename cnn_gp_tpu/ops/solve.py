@@ -26,7 +26,10 @@ Methods:
   solves (parallel/chol_dist.py): row-sharded factorisation in bounded-size
   device programs, Jacobi equilibration for the ~1e12 NNGP diagonal scale,
   float64 host refinement.  Scales past one chip and past the
-  remote-compile limits that cap ``chol_ir``.
+  remote-compile limits that cap ``chol_ir``; executed multi-controller on
+  a real 2-process ``jax.distributed`` fleet with scipy-identical
+  predictions (tests/_fleet_solve_worker.py — host legs fetch only
+  replicated outputs, so no shard is read across processes).
 """
 
 from __future__ import annotations

@@ -96,4 +96,11 @@ def cg_solve_sharded(kxx: np.ndarray, y: np.ndarray, jitter: float = 0.0,
     with jax.default_matmul_precision("highest"):
         x, rel, iters = _cg(k_d, y_d, jnp.asarray(jitter, dtype),
                             jnp.asarray(tol, dtype), maxiter)
+    # GSPMD leaves the iterate row-sharded (it inherits the Jacobi
+    # preconditioner's sharding, cut from the row-sharded Gram diagonal);
+    # regather it replicated BEFORE the host fetch — row shards on other
+    # PROCESSES are not addressable on a multi-controller fleet
+    # (tests/_fleet_solve_worker.py), and the fetch would have paid the
+    # same all-gather anyway
+    x = jax.jit(lambda a: a, out_shardings=repl)(x)
     return np.asarray(x)[:n], float(rel), int(iters)

@@ -39,6 +39,9 @@ def main(_):
             jitter=FLAGS.jitter, refine_iters=FLAGS.refine_iters,
             residual_check=FLAGS.residual_check,
             residual_accept_frac=FLAGS.residual_accept_frac,
+            residual_sample_seed=(FLAGS.residual_sample_seed
+                                  if FLAGS.residual_sample_seed >= 0
+                                  else None),
             variances=FLAGS.variances)
         variances = info["variances"]
         est = "~" if info["rel_residual_estimated"] else ""
@@ -97,10 +100,14 @@ if __name__ == "__main__":
                      "refinement matvec passes cap (--large)")
     f.DEFINE_enum("residual_check", "sampled", ["sampled", "full"],
                   "with --large: 'sampled' measures the solve residual on "
-                  "~1024 evenly-spread rows (~4% of a full regeneration "
-                  "sweep at 50k) and escalates to the exact check only "
-                  "when the estimate is within the accept margin of tol; "
-                  "'full' always pays the exact assembly-priced sweep")
+                  "~1024 randomly drawn rows (~4% of a full regeneration "
+                  "sweep at 50k; fresh seeded sample per run) and "
+                  "escalates to the exact check only when the estimate is "
+                  "within the accept margin of tol; 'full' always pays "
+                  "the exact assembly-priced sweep")
+    f.DEFINE_integer("residual_sample_seed", -1,
+                     "with --large: seed for the randomized residual row "
+                     "sample; -1 draws a fresh seed per run")
     f.DEFINE_float("residual_accept_frac", 1.0,
                    "with --large: the sampled estimate's +3-SE upper "
                    "confidence bound must clear this fraction of tol to "

@@ -56,13 +56,17 @@ def main(_):
         refine_iters=FLAGS.refine_iters,
         residual_check=FLAGS.residual_check,
         residual_accept_frac=FLAGS.residual_accept_frac,
+        residual_sample_seed=(FLAGS.residual_sample_seed
+                              if FLAGS.residual_sample_seed >= 0 else None),
         variances=FLAGS.variances)
     wall = time.perf_counter() - t0
     est = "~" if info["rel_residual_estimated"] else ""
     sampled = (f"sampled {info['rel_residual_sampled']:.2e} "
                if info["rel_residual_sampled"] is not None else "")
     if info.get("rel_residual_sampled_ucb") is not None:
-        sampled += f"(ucb {info['rel_residual_sampled_ucb']:.2e}) "
+        sampled += (f"(ucb {info['rel_residual_sampled_ucb']:.2e}, "
+                    f"maxrow {info['rel_residual_maxrow_ratio']:.1f}, "
+                    f"seed {info['residual_sample_seed']}) ")
     print(f"accs {accs} wall {wall:.1f}s rel {est}{info['rel_residual']:.2e} "
           f"(unrefined {info['rel_residual_unrefined']:.2e}) {sampled}"
           f"refinements {info['refinements']} "
@@ -160,6 +164,9 @@ if __name__ == "__main__":
                    "the sampled estimate's +3-SE upper confidence bound "
                    "must clear this fraction of tol to skip the exact "
                    "sweep (the bound prices the sampling error itself)")
+    f.DEFINE_integer("residual_sample_seed", -1,
+                     "seed for the randomized residual row sample; -1 "
+                     "draws a fresh seed (recorded in the run output)")
     f.DEFINE_boolean("variances", False,
                      "also compute matrix-free GP posterior variances "
                      "(compared against the float64 oracle under "

@@ -668,3 +668,128 @@ def test_fused_variance_scores_match_predict_sweep(mesh, small_model):
     # the fused path reproduces the same argmax as the f64 scores
     np.testing.assert_array_equal(info_v["predictions"][0],
                                   np.argmax(want, axis=1))
+
+
+def _corrupt_one_assembly_tile(monkeypatch, i_bad: int, j_bad: int, b: int,
+                               eps: float):
+    """Monkeypatch `_assemble_scaled` to add ``eps`` to ONE lower-triangle
+    tile AFTER real assembly: the factor then decomposes M + E while the
+    regeneration matvec measures against the true M — the adversarial
+    failure class of the sampled gate (residual ``r = E a`` confined to
+    block-rows ``i_bad`` and ``j_bad``; see the detection-limits note in
+    `classify_device_large`)."""
+    import jax.numpy as jnp
+    from jax import lax
+    from cnn_gp_tpu.parallel import device_large as dl
+
+    real = dl._assemble_scaled
+
+    def corrupt(*args, **kw):
+        k = real(*args, **kw)
+        blk = lax.dynamic_slice(k, (i_bad * b, j_bad * b), (b, b))
+        return lax.dynamic_update_slice(
+            k, blk + jnp.float32(eps), (i_bad * b, j_bad * b))
+
+    monkeypatch.setattr(dl, "_assemble_scaled", corrupt)
+
+
+def test_injected_tile_error_detection_randomized(mesh, small_model,
+                                                  monkeypatch):
+    """Error-injection calibration of the sampled accept gate (round-3
+    VERDICT #1): corrupt one assembly tile — the failure whose residual
+    is CONFINED to two block-rows, invisible unless one of them is
+    sampled — and verify, seed by seed, that the randomized gate
+    escalates exactly when its sample intersects the corrupted
+    block-rows.  The old deterministic evenly-spread sample {0, 15}
+    never contained them: it would have missed this corruption on EVERY
+    run; the randomized gate catches it at the predicted ~2k/nt rate per
+    run and with probability -> 1 across runs."""
+    n, b = 256, 16            # nt = 16 block-rows, k = 2 sampled
+    i_bad, j_bad = 6, 3       # strictly-lower tile, residual in rows {3, 6}
+    from cnn_gp_tpu.parallel.device_large import _sample_row_blocks
+    # the deterministic round-3 sample was np.linspace(0, nt-1, k): {0, 15}
+    old_det = set(np.unique(np.linspace(0, 15, 2).round().astype(int)))
+    assert not (old_det & {i_bad, j_bad})      # the documented blind spot
+
+    tr_x, tr_y, te_x, te_y = synthetic_arrays(
+        n_train=n, n_test=8, shape=(1, 7, 7), seed=13)
+    kw = dict(batch_size=b, block=16, jitter=1e-2, mesh=mesh,
+              refine_iters=0, verbose=False)
+
+    # healthy exact residual (the f32 floor), then the corrupted exact
+    # residual: the injected signal must be well separated from the floor
+    _, info_h = classify_device_large(
+        small_model, tr_x, tr_y, (te_x, te_y), residual_check="full", **kw)
+    rel_healthy = info_h["rel_residual"]
+    _corrupt_one_assembly_tile(monkeypatch, i_bad, j_bad, b, eps=1e-4)
+    _, info_c = classify_device_large(
+        small_model, tr_x, tr_y, (te_x, te_y), residual_check="full", **kw)
+    rel_corrupt = info_c["rel_residual"]
+    assert rel_corrupt > 30 * rel_healthy, (rel_corrupt, rel_healthy)
+    tol = float(np.sqrt(rel_healthy * rel_corrupt))   # geometric midpoint
+
+    hits = misses = 0
+    for seed in range(12):
+        expected_hit = bool(
+            set(_sample_row_blocks(16, 2, seed).tolist()) & {i_bad, j_bad})
+        _, info = classify_device_large(
+            small_model, tr_x, tr_y, (te_x, te_y), tol=tol,
+            residual_check="sampled", residual_sample_rows=32,
+            residual_sample_seed=seed, **kw)
+        assert info["residual_sample_seed"] == seed
+        assert (set(np.asarray(info["residual_sampled_blocks"]).tolist())
+                == set(_sample_row_blocks(16, 2, seed).tolist()))
+        detected = not info["rel_residual_estimated"]
+        assert detected == expected_hit, (seed, info["rel_residual_sampled"],
+                                          info["rel_residual_sampled_ucb"])
+        if detected:
+            hits += 1            # escalated: the exact check sees E a
+            assert info["rel_residual"] > tol
+        else:
+            misses += 1          # accepted: the corruption went unsampled
+            assert info["rel_residual_sampled"] < tol
+    assert hits >= 1 and misses >= 1, (hits, misses)
+
+
+def test_injected_small_error_caught_by_max_row_gate(mesh, small_model,
+                                                     monkeypatch):
+    """The max-per-sampled-row statistic catches a localized corruption
+    SMALL enough that the mean-square UCB alone would accept it: with the
+    corrupted block in the sample, the mean stays under a loose tol but
+    the max-row ratio explodes; disabling the gate (huge
+    residual_max_row_gate) accepts — proving the max-row statistic, not
+    the mean, fired."""
+    n, b = 256, 16            # nt = 16, k = 4 sampled
+    i_bad, j_bad = 9, 3
+    tr_x, tr_y, te_x, te_y = synthetic_arrays(
+        n_train=n, n_test=8, shape=(1, 7, 7), seed=13)
+    _corrupt_one_assembly_tile(monkeypatch, i_bad, j_bad, b, eps=1e-4)
+    kw = dict(batch_size=b, block=16, jitter=1e-2, mesh=mesh,
+              refine_iters=0, residual_check="sampled",
+              residual_sample_rows=64, tol=1.0, verbose=False)
+    hit_seed, miss_seed = 2, 0          # sample {1,3,4,10} / {4,7,8,11}
+
+    _, info_hit = classify_device_large(
+        small_model, tr_x, tr_y, (te_x, te_y),
+        residual_sample_seed=hit_seed, **kw)
+    assert info_hit["rel_residual_estimated"] is False        # escalated
+    assert info_hit["rel_residual_maxrow_ratio"] > 1e4
+    # the mean-square UCB alone WOULD have accepted this corruption
+    assert info_hit["rel_residual_sampled_ucb"] <= 1.0
+
+    _, info_off = classify_device_large(
+        small_model, tr_x, tr_y, (te_x, te_y),
+        residual_sample_seed=hit_seed, residual_max_row_gate=1e12, **kw)
+    assert info_off["rel_residual_estimated"] is True         # gate off
+
+    _, info_miss = classify_device_large(
+        small_model, tr_x, tr_y, (te_x, te_y),
+        residual_sample_seed=miss_seed, **kw)
+    assert info_miss["rel_residual_estimated"] is True        # unsampled
+    assert info_miss["rel_residual_maxrow_ratio"] < 50.0
+
+
+def test_residual_max_row_gate_validation():
+    with pytest.raises(ValueError, match="residual_max_row_gate"):
+        classify_device_large(None, np.zeros((4, 1, 7, 7)), np.zeros(4),
+                              residual_max_row_gate=1.0)
