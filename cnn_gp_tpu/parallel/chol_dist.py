@@ -44,7 +44,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .mesh import make_mesh
 
 __all__ = ["chol_solve_dist", "chol_solve_ir32", "chol_solve_dist_from_store",
-           "cholesky_sharded", "cholesky_solve_sharded"]
+           "cholesky_sharded", "cholesky_solve_sharded",
+           "variances_from_cross_host", "evidence_from_factor"]
 
 
 def _chunk_starts(total: int, size: int):
@@ -524,19 +525,47 @@ class _ShardedFactor:
             raise ValueError(
                 f"extend past capacity: n={self.n} + m={m} > "
                 f"n_pad={self.n_pad}; construct with capacity>={self.n + m}")
-        n0, n_pad, block = self.n, self.n_pad, self.block
         repl = NamedSharding(self.mesh, P())
+        rhs = np.zeros((self.n_pad, m), np.float32)
+        rhs[:self.n] = b_scaled.T
+        self._extend_core(jax.device_put(rhs, repl),
+                          jnp.asarray(c_scaled), m)
 
-        rhs = np.zeros((n_pad, m), np.float32)
-        rhs[:n0] = b_scaled.T
+    def extend_device(self, w_dev, c_scaled_dev) -> None:
+        """:meth:`extend` for cross blocks that ALREADY live on device —
+        the host-upload-free path (``extend``'s ``device_put`` of the
+        [n_pad, m] right-hand side is its wall-clock bottleneck on
+        tunneled runtimes: 134 MB at n=16k/m=2048, the measured reason
+        isolated extension ran 0.7x of a refit in round 3).
+
+        ``w_dev`` is the [n_pad, m] scaled cross block ``B^T`` extended
+        with zero rows over [n, n_pad) (for an equilibrated factor:
+        ``W[i, j] = s_old[i] K(x_i, z_j) s_new[j]``), ``c_scaled_dev``
+        the [m, m] scaled new-new block with unit diagonal — e.g.
+        assembled by the tile-regeneration sweeps of
+        ``parallel.incremental.IncrementalGP._extend_device_blocks``."""
+        if self.l_loc is None:
+            raise RuntimeError("factorize before extend")
+        m = w_dev.shape[1]
+        if (w_dev.shape != (self.n_pad, m)
+                or c_scaled_dev.shape != (m, m)):
+            raise ValueError((w_dev.shape, c_scaled_dev.shape, self.n_pad))
+        if self.n + m > self.n_pad:
+            raise ValueError(
+                f"extend past capacity: n={self.n} + m={m} > "
+                f"n_pad={self.n_pad}; construct with capacity>={self.n + m}")
+        self._extend_core(w_dev, c_scaled_dev, m)
+
+    def _extend_core(self, rhs_dev, c_dev, m: int) -> None:
+        n0, block = self.n, self.block
         # y = L^-1 B^T: zero at the old pad rows (their factor rows are
         # identity and their rhs is zero), so y^T is exactly L21 extended
         # with zero columns over the old padding
-        y = self._forward_solve(jax.device_put(rhs, repl))
+        y = self._forward_solve(rhs_dev)
 
         schur_chol, upd_j = self._extend_programs(m)
         with jax.default_matmul_precision("highest"):
-            l22 = schur_chol(y, jnp.asarray(c_scaled))
+            l22 = schur_chol(y, c_dev)
         # SPD gate BEFORE the donated in-place write: a non-PD Schur
         # complement (duplicate/near-duplicate points, zero jitter) makes
         # lax.linalg.cholesky return NaNs silently, and committing them
@@ -681,11 +710,52 @@ def chol_solve_dist(kxx: np.ndarray, y: np.ndarray, jitter: float = 0.0,
     return s[:, None] * best_a, best_rel, iters
 
 
+def variances_from_cross_host(factor: "_ShardedFactor", s: np.ndarray,
+                              kzx: np.ndarray, kzz: np.ndarray,
+                              chunk: int = 512) -> np.ndarray:
+    """GP posterior variances for HOST-resident cross covariances through
+    a live equilibrated factor: ``var_z = k_zz - ||L^-1 (s * k_xz)||^2``
+    by block forward substitution over bounded column chunks (the
+    `device_large._predictive_variances` recipe for store-based
+    pipelines, where Kxvx/Kxtx already live on the host as float32).
+    ``s`` is the factor's Jacobi scaling (float64 [n]); accuracy floor is
+    the float32 factor (~eps32 * k_zz).  The dispatch width is quantised
+    to powers of two so varying query counts reuse a handful of compiled
+    programs."""
+    repl = NamedSharding(factor.mesh, P())
+    n, nz = factor.n, len(kzx)
+    cb = min(chunk, max(16, 1 << (nz - 1).bit_length()))
+    nz_pad = -(-nz // cb) * cb
+    w = np.zeros((factor.n_pad, cb), np.float32)
+    sums = np.empty(nz_pad, np.float64)
+    for c0 in range(0, nz_pad, cb):
+        hi = min(c0 + cb, nz)
+        w[:n, : hi - c0] = s[:, None] * kzx[c0:hi].T.astype(np.float64)
+        if hi - c0 < cb:
+            w[:n, hi - c0:] = 0.0
+        sums[c0:c0 + cb] = np.asarray(
+            factor.forward_sumsq(jax.device_put(w, repl)), np.float64)
+    return np.maximum(np.asarray(kzz, np.float64) - sums[:nz], 0.0)
+
+
+def evidence_from_factor(factor: "_ShardedFactor", s: np.ndarray,
+                         y64: np.ndarray, alpha: np.ndarray) -> float:
+    """GP log evidence from a live equilibrated factor (the
+    `classify_device_large` formula): with ``M = S K' S`` (S = diag(s),
+    K' = K + jitter I), ``logdet K' = 2 sum log diag(L_M) - 2 sum log s``;
+    the quadratic form reuses the solved ``alpha``.  Float64 oracle:
+    `ops.solve.log_marginal_likelihood`."""
+    logdet = 2.0 * factor.log_diag_sum() - 2.0 * float(np.sum(np.log(s)))
+    n, n_cls = y64.shape
+    return float(-0.5 * np.sum(y64 * alpha) - 0.5 * n_cls * logdet
+                 - 0.5 * n * n_cls * np.log(2.0 * np.pi))
+
+
 def chol_solve_ir32(k32: np.ndarray, y: np.ndarray, jitter: float = 0.0,
                     mesh: Optional[Mesh] = None, block: int = 1024,
                     refine_iters: int = 20, tol: float = 1e-10,
-                    io_rows: int = 8192, k_dev=None
-                    ) -> Tuple[np.ndarray, float, int]:
+                    io_rows: int = 8192, k_dev=None,
+                    return_factor: bool = False):
     """Memory-lean large-N variant: solve (K + jitter I) A = Y where ``k32``
     is the full symmetrised **float32** matrix (e.g. straight from the Gram
     store, whose data is float32 anyway — as is the reference's,
@@ -697,6 +767,11 @@ def chol_solve_ir32(k32: np.ndarray, y: np.ndarray, jitter: float = 0.0,
     computed blockwise in float64 upcasts of the raw float32 rows, so the
     returned solution solves the float64 embedding of the float32 data to
     ``tol`` — identical to upcasting first, without the 2x memory.
+
+    With ``return_factor=True`` returns ``(a, rel, iters, factor, s)``:
+    the live `_ShardedFactor` and its float64 Jacobi scalings, for
+    posterior variances (`variances_from_cross_host`) and evidence
+    (`evidence_from_factor`) without a second factorisation.
     """
     if mesh is None:
         mesh = make_mesh()
@@ -719,19 +794,22 @@ def chol_solve_ir32(k32: np.ndarray, y: np.ndarray, jitter: float = 0.0,
         return s[:, None] * factor.solve(
             (s[:, None] * r64).astype(np.float32)).astype(np.float64)
 
-    return _ir_solve(precond, residual, y64, refine_iters, tol)
+    a, rel, iters = _ir_solve(precond, residual, y64, refine_iters, tol)
+    if return_factor:
+        return a, rel, iters, factor, s
+    return a, rel, iters
 
 
 def chol_solve_dist_from_store(store, name: str, y: np.ndarray,
                                jitter: float = 0.0,
                                mesh: Optional[Mesh] = None,
-                               block: int = 1024, **kw
-                               ) -> Tuple[np.ndarray, float, int]:
+                               block: int = 1024, **kw):
     """Blocked-I/O classify path (round-1 VERDICT #7): read the
     upper-triangle Gram from the store as float32, mirror it, and solve via
     ``chol_solve_ir32`` — the full float64 Gram (20 GB at 50k) is never
     materialised, unlike the reference's load_kern
-    (reference: exp_mnist_resnet/classify_gp.py:45-48,63)."""
+    (reference: exp_mnist_resnet/classify_gp.py:45-48,63).  Extra keyword
+    arguments (e.g. ``return_factor=True``) pass through."""
     from ..ops.solve import symmetrize_from_upper
     k32 = symmetrize_from_upper(store.read(name))       # ONE float32 copy
     return chol_solve_ir32(k32, y, jitter=jitter, mesh=mesh, block=block,

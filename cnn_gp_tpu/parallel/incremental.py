@@ -28,14 +28,20 @@ Host-memory envelope — two modes:
   rows/columns in place — no per-add reallocation or O(N^2) copy.
 * ``retain_gram=False``: nothing O(N^2) stays resident on the host —
   refinement residuals are measured in scaled space through float32
-  tile *regeneration* (`device_large.gram_matvec_regen`, the same
-  arithmetic `classify_device_large` refines against), at one
+  tile *regeneration* (the `classify_device_large` arithmetic), at one
   kernel-sweep cost per residual evaluation and a residual floor of
   float32 accumulation (~1e-6 relative; the retained mode reaches
   1e-10).  Predictions agree with the retained mode to that floor
   (tests/test_incremental.py::test_retain_gram_false_matches_retained).
-  Transients remain: the first batch's [n0, n0] Gram and each
-  extension's [m, n] cross block.
+  In this mode the training set and scalings are kept device-resident
+  in capacity-sized buffers (uploaded once, grown in place per add), so
+  residual sweeps re-upload only the [n, C] iterate, and each
+  extension's [m, N]/[m, m] cross blocks are ASSEMBLED ON DEVICE by the
+  same tile sweeps and handed to the factor without ever visiting the
+  host (``_ShardedFactor.extend_device`` — round 3 measured the
+  host-built path 0.7x of a refit at n=16k/m=2048 purely from the
+  134 MB right-hand-side upload).  The remaining host transient is the
+  first batch's [n0, n0] Gram.
 
 The factor itself is row-sharded on the mesh in both modes.  For batch
 (non-incremental) large-N classification use `classify_device_large`.
@@ -43,9 +49,13 @@ The factor itself is row-sharded on the mesh in both modes.  For batch
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
+import jax
+import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..ops import solve as solve_ops
 from .chol_dist import _ShardedFactor, _blocked_residual_fn, _ir_solve
@@ -53,6 +63,37 @@ from .gram import compute_gram_diag, gram_in_memory
 from .mesh import make_mesh
 
 __all__ = ["IncrementalGP"]
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _write_rows_jit(buf, rows, n0):
+    """Grow a capacity-sized device buffer in place: write rows at offset
+    ``n0`` (donated; one compile per extension width, offset traced — the
+    `_extend_programs` caching convention)."""
+    return lax.dynamic_update_slice(buf, rows,
+                                    (n0,) + (0,) * (buf.ndim - 1))
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _scale_cols_jit(w, s_cols):
+    return w * s_cols[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("b", "n", "snap"))
+def _cs_assemble_jit(model, z_all, s_pad, offsets, b, n, snap):
+    """[m_pad, m_pad] scaled new-new block ``D^-1/2 (K + jr I) D^-1/2``
+    with unit diagonal, via the exact `_scaled_tile` arithmetic over the
+    full new-new tile grid (one bounded scan; m per add() is small)."""
+    from .device_large import _scaled_tile
+    del snap
+    m_pad = z_all.shape[0]
+
+    def body(c, off):
+        blk = _scaled_tile(model, z_all, s_pad, off[0], off[1], b, n)
+        return lax.dynamic_update_slice(c, blk, (off[0], off[1])), None
+
+    return lax.scan(body, jnp.zeros((m_pad, m_pad), jnp.float32),
+                    offsets)[0]
 
 
 class IncrementalGP:
@@ -71,8 +112,10 @@ class IncrementalGP:
 
     ``retain_gram=False`` drops the resident [capacity, capacity] host
     Gram: refinement residuals are then measured through float32 tile
-    regeneration (see the module docstring for the accuracy/cost
-    trade).
+    regeneration (see the module docstring for the accuracy/cost trade);
+    ``tol`` is clamped to the float32 measurement floor in that mode and
+    ``rel_residual`` is reported in scaled space — see `_resolve` for
+    both conventions.
     """
 
     def __init__(self, model, capacity: int, batch_size: int = 128,
@@ -97,6 +140,12 @@ class IncrementalGP:
         # nothing-O(N^2)-resident mode
         self._k32 = (np.zeros((self.capacity, self.capacity), np.float32)
                      if retain_gram else None)
+        # regen mode: capacity-sized device-resident training set and
+        # float32 scalings, uploaded once and grown in place — residual
+        # sweeps and extension cross-block assembly regenerate tiles from
+        # these instead of re-uploading O(N) host data per call
+        self._x_dev = None
+        self._s_dev = None
         self._s = None                    # float64 equilibration scalings
         self._jitter_raw = None
         self._factor: Optional[_ShardedFactor] = None
@@ -134,13 +183,24 @@ class IncrementalGP:
         d64 = np.ascontiguousarray(np.diagonal(k32)).astype(np.float64)
         self._jitter_raw = self.jitter * float(np.mean(d64))
         s = 1.0 / np.sqrt(d64 + self._jitter_raw)
+        # pad_to=batch_size aligns the factor grid with the Gram-tile
+        # grid so device-assembled cross blocks land inside the buffer
         f = _ShardedFactor(self.mesh, n, self.block,
-                           capacity=self.capacity)
+                           capacity=self.capacity, pad_to=self.batch_size)
         # scaling with s from diag+jitter and the pinned unit diagonal IS
         # the equilibrated K + jitter_raw I (jitter is diagonal-only)
         f.factorize_scaled(k32, s.astype(np.float32))
         if self._k32 is not None:
             self._k32[:n, :n] = k32
+        else:
+            b = self.batch_size
+            cap_pad = -(-self.capacity // b) * b
+            xb = np.zeros((cap_pad,) + x.shape[1:], np.float32)
+            xb[:n] = x
+            sb = np.ones(cap_pad, np.float32)
+            sb[:n] = s
+            self._x_dev = jax.device_put(xb)
+            self._s_dev = jax.device_put(sb)
         self._x, self._labels = x, labels
         self._s, self._factor = s, f
 
@@ -149,6 +209,18 @@ class IncrementalGP:
         if n + m > self.capacity:
             raise ValueError(f"add past capacity: n={n} + m={m} > "
                              f"capacity={self.capacity}")
+        if self._k32 is not None:
+            s_new = self._extend_host_blocks(x, n, m)
+        else:
+            s_new = self._extend_device_blocks(x, n, m)
+        self._x = np.concatenate([self._x, x])
+        self._labels = np.concatenate([self._labels, labels])
+        self._s = np.concatenate([self._s, s_new])
+
+    def _extend_host_blocks(self, x, n, m):
+        """Retained-Gram extension: cross blocks computed into host
+        arrays (they must land in the resident ``_k32`` anyway), scaled
+        on host, re-uploaded by ``extend``."""
         b_raw = gram_in_memory(self.model, x, self._x,
                                batch_size=self.batch_size)   # [m, n]
         c_raw = gram_in_memory(self.model, x,
@@ -165,14 +237,61 @@ class IncrementalGP:
         # extend the factor FIRST: it raises (factor untouched) on a
         # non-PD extension, and then no host state has changed either
         self._factor.extend(b_s, c_s.astype(np.float32))
+        self._k32[n:n + m, :n] = b_raw
+        self._k32[:n, n:n + m] = b_raw.T
+        self._k32[n:n + m, n:n + m] = c_raw
+        return s_new
 
-        if self._k32 is not None:
-            self._k32[n:n + m, :n] = b_raw
-            self._k32[:n, n:n + m] = b_raw.T
-            self._k32[n:n + m, n:n + m] = c_raw
-        self._x = np.concatenate([self._x, x])
-        self._labels = np.concatenate([self._labels, labels])
-        self._s = np.concatenate([self._s, s_new])
+    def _extend_device_blocks(self, x, n, m):
+        """Regen-mode extension: the [m, n] and [m, m] cross blocks are
+        assembled ON DEVICE by the same scaled-tile sweeps the large-N
+        classifier uses, and handed to ``extend_device`` — only the [m]
+        new diagonal and the [m] Schur-gate diagonal ever cross the host
+        link (the round-3 host path uploaded a [n_pad, m] right-hand
+        side, 134 MB at n=16k/m=2048 — the measured reason isolated
+        extension ran 0.7x of a refit on this tunnel)."""
+        from .. import settings
+        from .device_large import (_diag_scan_jit, _rect_offsets,
+                                   _scaled_tile, _xz_scaled_chunk_jit)
+        from .gram import _pad_to_multiple
+
+        b = self.batch_size
+        snap = settings.snapshot()
+        z_all = jnp.asarray(_pad_to_multiple(np.asarray(x, np.float32), b))
+        m_pad = z_all.shape[0]
+        d_new = np.asarray(_diag_scan_jit(
+            self.model, z_all,
+            jnp.asarray(np.arange(0, m_pad, b, dtype=np.int32)),
+            b, m, m_pad, snap), np.float64)[:m] + self._jitter_raw
+        s_new = 1.0 / np.sqrt(d_new)
+        s_new_pad = np.ones(m_pad, np.float32)
+        s_new_pad[:m] = s_new
+        s_new_dev = jnp.asarray(s_new_pad)
+
+        with jax.default_matmul_precision("highest"):
+            # W = s_old-row-scaled K(x_old, z), rows >= n zeroed, then
+            # column-scaled by s_new (pad columns are sliced off below)
+            w = jnp.zeros((self._factor.n_pad, m_pad), jnp.float32)
+            w = _xz_scaled_chunk_jit(w, self.model, self._x_dev, z_all,
+                                     self._s_dev, _rect_offsets(n, m_pad, b),
+                                     b, n, snap)
+            w = _scale_cols_jit(w, s_new_dev)
+            # C_s = D^-1/2 (K_new + jr I) D^-1/2 with unit diagonal: the
+            # exact `_scaled_tile` arithmetic over the full new-new grid
+            c_s = _cs_assemble_jit(self.model, z_all, s_new_dev,
+                                   _rect_offsets(m, m, b), b, m, snap)
+            w = w[:, :m]
+            c_s = c_s[:m, :m]
+        # extend the factor FIRST: it raises (factor untouched) on a
+        # non-PD extension, and then no host/device state has changed
+        self._factor.extend_device(w, c_s)
+        self._x_dev = _write_rows_jit(self._x_dev,
+                                      jnp.asarray(np.asarray(x, np.float32)),
+                                      np.int32(n))
+        self._s_dev = _write_rows_jit(self._s_dev,
+                                      jnp.asarray(s_new.astype(np.float32)),
+                                      np.int32(n))
+        return s_new
 
     def _resolve(self):
         """Posterior weights by float32 factor solve + float64 IR (the
@@ -181,7 +300,24 @@ class IncrementalGP:
         space, scaled-space correction solves); without it, residuals
         are measured in scaled space through float32 tile regeneration
         — the `classify_device_large` arithmetic, one kernel sweep per
-        evaluation, floor ~float32 accumulation."""
+        evaluation against the device-resident training buffers, floor
+        ~float32 accumulation.
+
+        ``rel_residual`` convention differs by mode (the same numeric
+        threshold means different things): retained mode reports the
+        RAW-space ``max_c ||y - (K + jr I) a||_c / ||y||_c``; regen mode
+        reports the SCALED-space ``max_c ||Sy - M a_s||_c / ||Sy||_c``
+        of the equilibrated system the factor decomposed (rows weighted
+        by ``1/sqrt(diag K + jr)``).  Both are scale-invariant; they
+        agree in distribution for well-equilibrated systems but are not
+        numerically interchangeable — compare residuals within one mode.
+
+        In regen mode the requested ``tol`` is clamped to the float32
+        regeneration-measurement floor ``3 sqrt(n) eps32`` (the
+        `classify_device_large` constant): the default 1e-10 is
+        unreachable there, and sweeping to stagnation just to observe no
+        progress costs one extra full O(n^2) kernel regeneration per
+        add()."""
         n, s = self.n, self._s
         y64 = solve_ops.one_hot_targets(self._labels, self.n_classes)
         if self._k32 is not None:
@@ -197,8 +333,13 @@ class IncrementalGP:
                 precond, residual, y64, self.refine_iters, self.tol)
             return
 
-        from .device_large import gram_matvec_regen
+        from .. import settings
+        from .device_large import _matvec_scan, _upper_offsets
 
+        b = self.batch_size
+        snap = settings.snapshot()
+        offsets = _upper_offsets(n, b)
+        cap_pad = self._x_dev.shape[0]
         ys = s[:, None] * y64
         y_norm = np.linalg.norm(ys, axis=0)
         y_norm[y_norm == 0] = 1.0
@@ -206,11 +347,16 @@ class IncrementalGP:
         def residual(a_s):
             # M a_s via regenerated scaled tiles (pinned unit diagonal
             # IS the +jitter in scaled space — same matrix the factor
-            # holds); accumulation is float32, which sets the floor
-            ma = gram_matvec_regen(self.model, self._x,
-                                   a_s.astype(np.float32),
-                                   batch_size=self.batch_size,
-                                   s=s).astype(np.float64)
+            # holds) against the device-resident x/s buffers: only the
+            # [n, C] iterate crosses the link per sweep (the old path
+            # re-padded and re-uploaded the whole training set each
+            # evaluation).  Accumulation is float32 — the floor.
+            a_pad = np.zeros((cap_pad, a_s.shape[1]), np.float32)
+            a_pad[:n] = a_s
+            with jax.default_matmul_precision("highest"):
+                ma = np.asarray(_matvec_scan(
+                    self.model, self._x_dev, self._s_dev, offsets,
+                    jnp.asarray(a_pad), b, n, snap), np.float64)[:n]
             r = ys - ma
             return r, float(np.max(np.linalg.norm(r, axis=0) / y_norm))
 
@@ -218,8 +364,10 @@ class IncrementalGP:
             return self._factor.solve(
                 r64.astype(np.float32)).astype(np.float64)
 
+        tol_eff = max(self.tol,
+                      3.0 * np.sqrt(n) * float(np.finfo(np.float32).eps))
         a_s, self.rel_residual, self.refinements = _ir_solve(
-            precond, residual, ys, self.refine_iters, self.tol)
+            precond, residual, ys, self.refine_iters, tol_eff)
         self._alpha = s[:, None] * a_s
 
     def log_evidence(self) -> float:
@@ -296,30 +444,9 @@ class IncrementalGP:
         return self._variances_from_cross(kzx, kzz, chunk)
 
     def _variances_from_cross(self, kzx, kzz, chunk: int) -> np.ndarray:
-        """Whitened cross-covariance columns by block forward
-        substitution, in bounded column-chunk dispatches — the
-        `device_large` recipe, NOT one monolithic [n_pad, n_test] program
-        (CLAUDE.md bounded-program rules).  The dispatch width is
-        quantised to powers of two (capped at ``chunk``) so repeated
-        queries of varying size reuse a handful of compiled
-        `forward_sumsq` programs instead of one per distinct nz — program
-        shipping dominates on tunneled runtimes.  Tail columns are
-        zero-padded (they whiten to zero and are discarded)."""
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        nz = len(kzx)
-        cb = min(chunk, max(16, 1 << (nz - 1).bit_length()))
-        nz_pad = -(-nz // cb) * cb
-        repl = NamedSharding(self.mesh, P())
-        w = np.zeros((self._factor.n_pad, cb), np.float32)
-        sums = np.empty(nz_pad, np.float64)
-        for c0 in range(0, nz_pad, cb):
-            hi = min(c0 + cb, nz)
-            w[: self.n, : hi - c0] = self._s[:, None] * kzx[c0:hi].T.astype(
-                np.float64)
-            if hi - c0 < cb:
-                w[: self.n, hi - c0:] = 0.0
-            sums[c0:c0 + cb] = np.asarray(self._factor.forward_sumsq(
-                jax.device_put(w, repl)), np.float64)
-        return np.maximum(kzz - sums[:nz], 0.0)
+        """Whitened cross-covariance columns through the live factor in
+        bounded column-chunk dispatches — shared with the store-based
+        classify path (`chol_dist.variances_from_cross_host`)."""
+        from .chol_dist import variances_from_cross_host
+        return variances_from_cross_host(self._factor, self._s, kzx, kzz,
+                                         chunk=chunk)

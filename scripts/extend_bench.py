@@ -84,10 +84,61 @@ def main(_):
     # gate, don't just report: a corrupted extension (e.g. a NaN factor)
     # must abort the benchmark, not print rel=nan and exit 0
     assert np.isfinite(rel) and rel < 1e-3, f"solve agreement broke: {rel}"
+    f.l_loc = f.diags = None
+    f._solvers.clear()
+
+    # --- device-blocks extension (`extend_device`) -------------------
+    # The host path above device_puts an [n_pad, m] right-hand side
+    # (134 MB at the 16k/2048 defaults) — its measured wall-clock
+    # bottleneck on tunneled runtimes.  Here the cross blocks are cut
+    # from the device matrix directly (in production the regen-mode
+    # IncrementalGP assembles them by tile regeneration), so nothing
+    # O(N*m) crosses the link.
+    # capacity n+2m: a SECOND device extension measures the warm cost —
+    # the streaming pattern (IncrementalGP compiles once per batch width,
+    # then every add reuses the programs), vs the cold number that folds
+    # ~all the program compiles in
+    f2 = _ShardedFactor(mesh, n, block, capacity=n + 2 * m)
+    with jax.default_matmul_precision("highest"):
+        k_again = make_spd(jax.random.PRNGKey(0))
+        w_dev, c_dev = jax.jit(lambda k: (
+            jnp.zeros((f2.n_pad, m), jnp.float32).at[:n].set(k[:n, n:]),
+            k[n:, n:]))(k_again)
+    _sync_fetch(c_dev[0, 0])
+    del k_again
+    with jax.default_matmul_precision("highest"):
+        k_lead2 = jax.jit(lambda k: k[:n, :n])(make_spd(jax.random.PRNGKey(0)))
+    _sync_fetch(k_lead2[0, 0])
+    f2.factorize_device(k_lead2)
+    _sync_fetch(f2.diags[0, 0, 0])
+    t0 = time.perf_counter()
+    f2.extend_device(w_dev, c_dev)
+    _sync_fetch(f2.diags[-1, 0, 0])
+    t_extend_dev = time.perf_counter() - t0
+    a_ext2 = f2.solve(rhs.astype(np.float32))
+    rel2 = (np.linalg.norm(a_ext2 - a_full)
+            / max(np.linalg.norm(a_full), 1e-30))
+    assert np.isfinite(rel2) and rel2 < 1e-3, f"device ext broke: {rel2}"
+
+    # warm re-extension: a well-conditioned synthetic cross block into
+    # the identity-padded rows [n+m, n+2m) (the factor there is exactly
+    # I, so any modest SPD extension works; we only time it)
+    w2 = jax.jit(lambda: jnp.zeros((f2.n_pad, m), jnp.float32))()
+    c2 = jax.jit(lambda: jnp.eye(m, dtype=jnp.float32))()
+    _sync_fetch(c2[0, 0])
+    t0 = time.perf_counter()
+    f2.extend_device(w2, c2)
+    _sync_fetch(f2.diags[-1, 0, 0])
+    t_extend_warm = time.perf_counter() - t0
+
     print(f"n={n} m={m} block={block} "
           f"refactor(n+m)={t_refactor:.2f}s factor(n,cap)={t_factor_n:.2f}s "
-          f"extend={t_extend:.2f}s speedup_vs_refactor="
-          f"{t_refactor / t_extend:.1f}x solve_agreement_rel={rel:.2e}",
+          f"extend(host)={t_extend:.2f}s extend(device)={t_extend_dev:.2f}s "
+          f"extend(device,warm)={t_extend_warm:.2f}s "
+          f"speedup_host={t_refactor / t_extend:.1f}x "
+          f"speedup_device={t_refactor / t_extend_dev:.1f}x "
+          f"speedup_device_warm={t_refactor / t_extend_warm:.1f}x "
+          f"solve_agreement_rel={rel:.2e}/{rel2:.2e}",
           flush=True)
 
 

@@ -1,0 +1,136 @@
+"""Type-II ML at paper scale: fit the ConvNet GP's variance
+hyperparameters on a hard task and compare against the paper's
+random-searched values.
+
+The reference fixes var_weight=2.79 / var_bias=7.86 (found by random
+search, reference: configs/mnist_paper_convnet_gp.py:16-30); it ships no
+way to optimise them.  This script fits per-layer learnable
+(var_weight, var_bias) leaves of the SAME architecture by exact marginal
+likelihood (`cnn_gp_tpu.fit.fit_large` — tiled Gram + evidence-identity
+tile-VJP gradients, so no whole-matrix program is ever jitted) at
+N=2048 on the hard non-separable MNIST variant, then reports held-out
+accuracy and train-set GP log evidence for
+
+    init   — the mis-initialised starting point,
+    fitted — after `--steps` of fit_large,
+    paper  — the reference's 2.79 / 7.86.
+
+    python -m scripts.fit_paper_scale --n_train=2048 --steps=30
+
+Results (real v5e, hard MNIST variant): BASELINE.md "Type-II ML at
+scale".
+"""
+
+import time
+
+import absl.app
+import absl.flags
+import numpy as np
+
+import cnn_gp_tpu as G
+from cnn_gp_tpu.fit import fit_large
+from cnn_gp_tpu.ops import solve
+from scripts.make_fake_dataset import _digits
+
+FLAGS = absl.flags.FLAGS
+
+
+def paper_convnet(vw, vb, learnable=False):
+    """The paper ConvNet GP architecture with parameterised variances
+    (reference: configs/mnist_paper_convnet_gp.py:25-36; conv layers use
+    var_weight * 7^2 exactly as the config does)."""
+    layers = []
+    for _ in range(7):
+        layers += [G.Conv2d(kernel_size=7, padding="same",
+                            var_weight=vw * 7 ** 2, var_bias=vb,
+                            learnable=learnable),
+                   G.ReLU()]
+    return G.Sequential(*layers,
+                        G.Conv2d(kernel_size=28, padding=0, var_weight=vw,
+                                 var_bias=vb, learnable=learnable))
+
+
+def hard_mnist(n_train, n_test):
+    """The hard non-separable MNIST variant (blended prototypes, heavy
+    noise, 5% label flips) as float32 NCHW in [0, 1] — the same pixel
+    scaling the dataset loader applies to the on-disk files."""
+    tr_x, tr_y = _digits(n_train, 28, seed=1, hard=True)
+    te_x, te_y = _digits(n_test, 28, seed=2, proto_seed=1, hard=True)
+    as_f32 = lambda a: (a[:, None].astype(np.float32) / 255.0)
+    return as_f32(tr_x), tr_y, as_f32(te_x), te_y
+
+
+def evaluate(model, tr_x, tr_y, te_x, te_y, batch_size, jitter_rel):
+    """Held-out accuracy + train log evidence through the float64 scipy
+    pipeline (exact at this N; reference:
+    exp_mnist_resnet/classify_gp.py:17-27)."""
+    from cnn_gp_tpu.parallel import gram_in_memory
+
+    kxx = np.asarray(gram_in_memory(model, tr_x, batch_size=batch_size,
+                                    progress=False), np.float64)
+    jr = jitter_rel * float(np.mean(np.diagonal(kxx)))
+    y = solve.one_hot_targets(tr_y)
+    lml = solve.log_marginal_likelihood(kxx, y, jitter_rel=jitter_rel)
+    a = solve.solve_gp(kxx, y, jitter=jr, method="scipy")
+    del kxx
+    kzx = np.asarray(gram_in_memory(model, te_x, tr_x,
+                                    batch_size=batch_size, progress=False),
+                     np.float64)
+    acc = solve.accuracy(solve.predict(kzx, a), te_y)
+    return acc, lml
+
+
+def main(_):
+    tr_x, tr_y, te_x, te_y = hard_mnist(FLAGS.n_train, FLAGS.n_test)
+    y_fit = solve.one_hot_targets(tr_y, dtype=np.float32)
+    b = FLAGS.batch_size
+
+    rows = []
+
+    def report(name, model):
+        t0 = time.perf_counter()
+        acc, lml = evaluate(model, tr_x, tr_y, te_x, te_y, b, FLAGS.jitter)
+        rows.append((name, acc, lml))
+        print(f"{name:>7}: held-out acc {acc:.4f}  train log evidence "
+              f"{lml:.6g}  ({time.perf_counter() - t0:.1f}s)", flush=True)
+
+    report("init", paper_convnet(FLAGS.vw_init, FLAGS.vb_init))
+    report("paper", paper_convnet(2.79, 7.86))
+
+    t0 = time.perf_counter()
+    fitted, losses = fit_large(
+        paper_convnet(FLAGS.vw_init, FLAGS.vb_init, learnable=True),
+        tr_x, y_fit, steps=FLAGS.steps, learning_rate=FLAGS.learning_rate,
+        jitter=FLAGS.jitter, batch_size=b, verbose=True)
+    print(f"fit_large: {FLAGS.steps} steps in {time.perf_counter() - t0:.1f}s"
+          f"  nmll {losses[0]:.4f} -> {losses[-1]:.4f}", flush=True)
+    vws = [float(m.var_weight) / (7 ** 2 if m.kernel_size == 7 else 1)
+           for m in fitted.mods if isinstance(m, G.Conv2d)]
+    vbs = [float(m.var_bias) for m in fitted.mods
+           if isinstance(m, G.Conv2d)]
+    print(f"fitted per-layer var_weight (config units): "
+          f"{np.round(vws, 3).tolist()}", flush=True)
+    print(f"fitted per-layer var_bias: {np.round(vbs, 3).tolist()}",
+          flush=True)
+    report("fitted", fitted)
+
+    init_acc, init_lml = rows[0][1:]
+    paper_acc, paper_lml = rows[1][1:]
+    fit_acc, fit_lml = rows[2][1:]
+    print(f"\nsummary: fitted vs paper: acc {fit_acc:.4f} vs {paper_acc:.4f}"
+          f", evidence {fit_lml:.6g} vs {paper_lml:.6g}; "
+          f"fitted vs init: acc {fit_acc - init_acc:+.4f}, "
+          f"evidence {fit_lml - init_lml:+.6g}", flush=True)
+
+
+if __name__ == "__main__":
+    f = absl.flags
+    f.DEFINE_integer("n_train", 2048, "training examples")
+    f.DEFINE_integer("n_test", 2048, "held-out examples")
+    f.DEFINE_integer("batch_size", 128, "Gram tile size")
+    f.DEFINE_integer("steps", 30, "fit_large optimisation steps")
+    f.DEFINE_float("learning_rate", 0.1, "adam learning rate (log space)")
+    f.DEFINE_float("jitter", 1e-6, "relative jitter (vs mean Gram diag)")
+    f.DEFINE_float("vw_init", 1.0, "initial var_weight (config units)")
+    f.DEFINE_float("vb_init", 1.0, "initial var_bias")
+    absl.app.run(main)

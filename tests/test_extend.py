@@ -158,3 +158,47 @@ def test_extend_capacity_refused():
     with pytest.raises(ValueError, match="capacity"):
         f.extend(np.zeros((spare + 1, 24), np.float32),
                  np.eye(spare + 1, dtype=np.float32))
+
+
+def test_extend_device_matches_extend():
+    """`extend_device` (cross blocks already on device — the upload-free
+    path the regen-mode IncrementalGP assembles by tile regeneration)
+    runs the identical `_extend_core` programs as `extend`, so identical
+    inputs give a bit-identical factor and solves."""
+    import jax.numpy as jnp
+
+    n, m, block = 37, 19, 16
+    mesh = make_mesh()
+    m2 = _spd_equilibrated(n + m, seed=5)
+    rhs = np.random.RandomState(2).randn(n + m, 4).astype(np.float32)
+
+    f_host = _ShardedFactor(mesh, n, block, capacity=n + m)
+    f_host.factorize(m2[:n, :n].astype(np.float32))
+    f_host.extend(m2[n:, :n], m2[n:, n:])
+
+    f_dev = _ShardedFactor(mesh, n, block, capacity=n + m)
+    f_dev.factorize(m2[:n, :n].astype(np.float32))
+    w = np.zeros((f_dev.n_pad, m), np.float32)
+    w[:n] = m2[:n, n:]                       # scaled B^T, zero pad rows
+    f_dev.extend_device(jnp.asarray(w),
+                        jnp.asarray(m2[n:, n:].astype(np.float32)))
+    assert f_dev.n == n + m
+
+    np.testing.assert_array_equal(f_dev.solve(rhs), f_host.solve(rhs))
+    np.testing.assert_array_equal(_gather_factor(f_dev),
+                                  _gather_factor(f_host))
+
+
+def test_extend_device_validation():
+    import jax.numpy as jnp
+
+    mesh = make_mesh()
+    f = _ShardedFactor(mesh, 16, 8, capacity=24)
+    with pytest.raises(RuntimeError, match="factorize"):
+        f.extend_device(jnp.zeros((f.n_pad, 8)), jnp.zeros((8, 8)))
+    f.factorize(_spd_equilibrated(16).astype(np.float32))
+    with pytest.raises(ValueError):
+        f.extend_device(jnp.zeros((3, 8)), jnp.zeros((8, 8)))   # bad shape
+    with pytest.raises(ValueError, match="capacity"):
+        f.extend_device(jnp.zeros((f.n_pad, f.n_pad)),          # too wide
+                        jnp.zeros((f.n_pad, f.n_pad)))

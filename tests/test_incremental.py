@@ -93,10 +93,12 @@ def test_variances_match_oracle(model):
 
 def test_retain_gram_false_matches_retained(model):
     """The nothing-O(N^2)-resident mode (refinement residuals through
-    float32 tile regeneration) agrees with the retained-Gram mode to the
-    float32 accumulation floor at every step — identical predictions,
-    matching evidence, and bit-identical variances (the factor is built
-    the same way in both modes)."""
+    float32 tile regeneration, extension cross blocks assembled ON
+    DEVICE) agrees with the retained-Gram mode to the float32
+    accumulation floor at every step — identical predictions, matching
+    evidence and variances.  Not bit-identical: the regen factor is
+    extended from device-assembled blocks whose tile accumulation order
+    differs from the host-scaled upload path."""
     xs, ys = zip(*[_data(n, seed) for n, seed in ((48, 40), (20, 41))])
     z, _ = _data(12, 42)
 
@@ -119,7 +121,10 @@ def test_retain_gram_false_matches_retained(model):
                 < 1e-3 * abs(info_r["log_evidence"]))
 
     np.testing.assert_array_equal(gp_f.classify(z), gp_r.classify(z))
-    np.testing.assert_array_equal(gp_f.variances(z), gp_r.variances(z))
+    vr = gp_r.variances(z)
+    np.testing.assert_allclose(gp_f.variances(z), vr,
+                               atol=1e-5 * float(np.abs(vr).max()),
+                               rtol=1e-4)
 
 
 def test_retain_gram_false_serves(model, tmp_path):
