@@ -31,6 +31,14 @@ implementation executing the same workload (see BASELINE.md: the reference
 publishes no throughput numbers, so the baseline is our measurement of the
 reference's PyTorch code on this container's CPU: 1,413 entries/s).
 
+Stall handling is per-SAMPLE (round-3 VERDICT #7): each worker STREAMS a
+JSON line per completed marginal sample, so when the parent's watchdog
+kills a stalled worker the already-measured samples survive and a fresh
+worker tops the count up — a stall costs one sample, never a whole
+attempt.  The JSON reports per-workload sample spread (min/median/max
+entries/s) alongside the median so drift inside the floor-to-ceiling band
+is visible.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "entries/s/chip", "vs_baseline": N,
    "breakdown": {...}, "flops_per_sec": {...}, "vpu_util_vs_4e12": {...}}
@@ -79,7 +87,18 @@ def _wait_out_outage():
         log=lambda s: print(f"bench: {s}", file=sys.stderr, flush=True))
 
 
-def _measure(config_name):
+def _measure(config_name, needed: int):
+    """Worker body: STREAM each marginal sample to stdout as its own
+    flushed JSON line the moment it completes (plus one ``flops`` line).
+
+    Streaming is the per-sample stall protection (round-3 VERDICT #7):
+    a tunnel hang blocks in C where no in-process watchdog fires, so the
+    parent's only weapon is killing this whole process — and with a
+    single end-of-run result line, that kill used to eat every sample
+    the attempt had already measured (BENCH_r03.json attempt 0 lost a
+    whole 420s budget to one stall).  With streaming, a kill costs only
+    the in-flight sample; the parent keeps the rest and relaunches a
+    fresh worker to top the count up."""
     import jax
     import configs
     from cnn_gp_tpu import settings
@@ -112,66 +131,82 @@ def _measure(config_name):
     for _ in range(N_WARM):
         run(1)
 
-    def marginal():
-        t1 = run(N1)
-        t2 = run(N2)
-        return (t2 - t1) / (N2 - N1)
-
-    # median of >=3 positive samples (see module docstring: a stall in
-    # the short window fakes speed, a stall in the long window fakes
-    # slowness; min() was biased fast).  Negative samples (severe stall)
-    # are discarded outright.
-    samples = []
-    for _ in range(8):
-        m = marginal()
-        if m > 0:
-            samples.append(m)
-        if len(samples) >= 3:
-            break
-    if not samples:
-        raise TimeoutError("no positive marginal sample")
-    n_samples = len(samples)          # <3 => the median protocol degraded
-    per_tile = float(np.median(samples))
-
-    # XLA's own FLOP estimate for the compiled tile program
-    flops = None
+    # XLA's own FLOP estimate for the compiled tile program -- emitted
+    # FIRST so a later stall cannot eat it
     try:
         lowered = jax.jit(
             lambda a, i, j: _tile_jit(model, a, a, i, j, BATCH, True, snap)
         ).lower(x, 0, BATCH)
         cost = lowered.compile().cost_analysis()
-        if cost:
-            flops = float(cost.get("flops", 0.0)) or None
+        if cost and cost.get("flops"):
+            print(json.dumps({"flops": float(cost["flops"])}), flush=True)
     except Exception:
         pass
-    return BATCH * BATCH / per_tile, per_tile, flops, n_samples
+
+    got = 0
+    for _ in range(8):
+        t1 = run(N1)
+        t2 = run(N2)
+        m = (t2 - t1) / (N2 - N1)
+        # negative marginal = severe stall inside the short window;
+        # report it (the parent discards but logs) and keep sampling
+        print(json.dumps({"sample": m}), flush=True)
+        if m > 0:
+            got += 1
+        if got >= needed:
+            break
 
 
-def _measure_in_subprocess(name, budget):
-    """One workload measurement in a killable child process.
-
-    The tunnel can hang *mid-measurement* too (after a successful probe),
+def _collect_samples(name, budget, needed):
+    """Run one killable worker attempt; return (samples, flops) parsed
+    from whatever it managed to STREAM before finishing or being killed.
+    The tunnel can hang mid-measurement (after a successful probe),
     blocked in C where an in-process SIGALRM watchdog never fires — only
-    a subprocess kill bounds that.  The child is this same file in
-    --worker mode; its stderr is forwarded for diagnostics."""
+    a subprocess kill bounds that, and streaming means the kill costs
+    only the in-flight sample."""
+    stdout = ""
     try:
         r = subprocess.run([sys.executable, os.path.abspath(__file__),
-                            "--worker", name],
+                            "--worker", name, str(needed)],
                            timeout=budget, capture_output=True, text=True)
-    except subprocess.TimeoutExpired as e:
-        # the killed worker's stderr up to the hang is the only evidence
-        # distinguishing a tunnel outage from a code hang -- forward it
-        if e.stderr:
-            sys.stderr.write(e.stderr if isinstance(e.stderr, str)
-                             else e.stderr.decode(errors="replace"))
+        stdout = r.stdout or ""
+        if r.stderr:
+            sys.stderr.write(r.stderr)
             sys.stderr.flush()
-        raise
-    if r.stderr:
-        sys.stderr.write(r.stderr)
-        sys.stderr.flush()
-    if r.returncode != 0:
-        raise RuntimeError(f"worker exited {r.returncode}")
-    return tuple(json.loads(r.stdout.strip().splitlines()[-1]))
+        if r.returncode != 0:
+            print(f"bench[{name}]: worker exited {r.returncode}",
+                  file=sys.stderr, flush=True)
+    except subprocess.TimeoutExpired as e:
+        # keep the streamed samples; forward the partial stderr -- it is
+        # the only evidence distinguishing a tunnel outage from a hang
+        stdout = (e.stdout if isinstance(e.stdout, str)
+                  else (e.stdout or b"").decode(errors="replace"))
+        err = (e.stderr if isinstance(e.stderr, str)
+               else (e.stderr or b"").decode(errors="replace"))
+        if err:
+            sys.stderr.write(err)
+            sys.stderr.flush()
+        print(f"bench[{name}]: attempt killed at {budget}s; keeping "
+              f"streamed samples", file=sys.stderr, flush=True)
+    samples, flops = [], None
+    for line in stdout.splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "sample" in d:
+            if d["sample"] > 0:
+                samples.append(float(d["sample"]))
+            else:
+                print(f"bench[{name}]: discarding negative sample "
+                      f"{d['sample']:.4f}s (stall in the short window)",
+                      file=sys.stderr, flush=True)
+        if "flops" in d:
+            flops = float(d["flops"])
+    return samples, flops
 
 
 def main():
@@ -192,18 +227,29 @@ def main():
         return
     results = {}
     for name in WORKLOADS:
-        for attempt, budget in enumerate((420, 420, 600)):
+        # samples ACCUMULATE across attempts (each worker streams them as
+        # they complete), so a mid-attempt stall costs one sample, never
+        # the attempt — round-3 VERDICT #7; BENCH_r03.json attempt 0 lost
+        # a whole 420s budget to one stall under the old all-or-nothing
+        # scheme
+        samples, flops = [], None
+        for attempt, budget in enumerate((300, 300, 420)):
             try:
-                results[name] = _measure_in_subprocess(name, budget)
-                break
-            # the tunnel's remote-compile channel can also DROP (an
-            # XlaRuntimeError in the worker, surfacing as a nonzero
-            # exit), or hang mid-run (a TimeoutExpired kill); a failing
-            # secondary workload must degrade to a partial breakdown, not
-            # discard the already-measured headline JSON line
+                got, fl = _collect_samples(name, budget, 3 - len(samples))
+                samples.extend(got)
+                flops = flops or fl
+                if len(samples) >= 3:
+                    break
+            # a dropped remote-compile channel surfaces as an exception
+            # here; a failing secondary workload must degrade to a
+            # partial breakdown, not discard the headline JSON line
             except Exception as e:
                 print(f"bench[{name}] attempt {attempt}: {type(e).__name__}:"
                       f" {e}", file=sys.stderr, flush=True)
+        if samples:
+            per_tile = float(np.median(samples))
+            results[name] = (BATCH * BATCH / per_tile, per_tile, flops,
+                             len(samples), samples)
         if name == "resnet32" and name not in results:
             # same contract as the pre-run outage branch: the driver is
             # promised ONE JSON line, and a tunnel that probes healthy
@@ -225,7 +271,7 @@ def main():
     value = results["resnet32"][0]
     flops_per_sec = {}
     vpu_util = {}
-    for name, (_, per_tile, flops, _) in results.items():
+    for name, (_, per_tile, flops, _, _) in results.items():
         if flops:
             fps = flops / per_tile
             flops_per_sec[name] = round(fps / 1e12, 3)       # T ops/s
@@ -242,6 +288,13 @@ def main():
         # protocol promises >=3 -- fewer means the tunnel discarded
         # samples and the figure is a degraded median, flagged explicitly
         "n_samples": {name: r[3] for name, r in results.items()},
+        # sample spread in entries/s (min/median/max): drift inside the
+        # floor-to-ceiling band is visible, not hidden behind one median
+        "spread_entries_per_s": {
+            name: {"min": round(BATCH * BATCH / max(r[4]), 1),
+                   "median": round(r[0], 1),
+                   "max": round(BATCH * BATCH / min(r[4]), 1)}
+            for name, r in results.items()},
     }
     degraded = [name for name, r in results.items() if r[3] < 3]
     if degraded:
@@ -260,9 +313,10 @@ def main():
 
 
 if __name__ == "__main__":
-    if len(sys.argv) == 3 and sys.argv[1] == "--worker":
-        # child mode (one workload, parent enforces the timeout): print
-        # the raw measurement tuple as the last stdout line
-        print(json.dumps(list(_measure(WORKLOADS[sys.argv[2]]))))
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        # child mode (one workload, parent enforces the timeout): stream
+        # one JSON line per completed sample + one flops line
+        needed = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+        _measure(WORKLOADS[sys.argv[2]], max(1, needed))
     else:
         main()

@@ -146,15 +146,12 @@ def test_bench_outage_emits_one_json_line(monkeypatch, capsys):
 
 def test_bench_headline_stall_emits_one_json_line(monkeypatch, capsys):
     """A probe that succeeds then a mid-measurement hang on the headline
-    workload must still end in one honest JSON line, not SystemExit."""
-    import subprocess
+    workload (every attempt killed with NOTHING streamed) must still end
+    in one honest JSON line, not SystemExit."""
     import bench
     monkeypatch.setattr(bench, "_wait_out_outage", lambda: True)
-
-    def stall(name, budget):
-        raise subprocess.TimeoutExpired(["bench"], budget)
-
-    monkeypatch.setattr(bench, "_measure_in_subprocess", stall)
+    monkeypatch.setattr(bench, "_collect_samples",
+                        lambda name, budget, needed: ([], None))
     bench.main()
     rec = _bench_json(capsys)
     assert rec["error"] == "headline_workload_stalled"
@@ -166,20 +163,45 @@ def test_bench_secondary_failure_degrades_to_partial(monkeypatch, capsys):
     JSON line carries the measured headline and a partial breakdown."""
     import bench
     monkeypatch.setattr(bench, "_wait_out_outage", lambda: True)
+    per_tile = 128 * 128 / 5.5e6
 
-    def measure(name, budget):
+    def collect(name, budget, needed):
         if name != "resnet32":
             raise RuntimeError("worker exited 1")
-        per_tile = 128 * 128 / 5.5e6
-        return (5.5e6, per_tile, 7.5e9, 3)
+        return [per_tile] * needed, 7.5e9
 
-    monkeypatch.setattr(bench, "_measure_in_subprocess", measure)
+    monkeypatch.setattr(bench, "_collect_samples", collect)
     bench.main()
     rec = _bench_json(capsys)
     assert "error" not in rec
-    assert rec["value"] == 5.5e6
+    assert round(rec["value"]) == 5.5e6
     assert list(rec["breakdown"]) == ["resnet32"]
     assert "below_floor" not in rec
+    spread = rec["spread_entries_per_s"]["resnet32"]
+    assert spread["min"] <= spread["median"] <= spread["max"]
+
+
+def test_bench_samples_accumulate_across_attempts(monkeypatch, capsys):
+    """Per-sample stall protection: a killed attempt's streamed samples
+    survive — the parent accumulates across attempts and never rebuys
+    what it already measured (round-3 VERDICT #7)."""
+    import bench
+    monkeypatch.setattr(bench, "_wait_out_outage", lambda: True)
+    per_tile = 128 * 128 / 6.0e6
+    calls = []
+
+    def collect(name, budget, needed):
+        calls.append((name, needed))
+        # every attempt yields ONE sample then "stalls"
+        return [per_tile], 7.5e9
+
+    monkeypatch.setattr(bench, "_collect_samples", collect)
+    bench.main()
+    rec = _bench_json(capsys)
+    assert round(rec["value"]) == 6.0e6
+    assert rec["n_samples"]["resnet32"] == 3
+    # 3 attempts per workload, each asking only for what was still missing
+    assert [n for w, n in calls if w == "resnet32"] == [3, 2, 1]
 
 
 def test_default_cache_dir_gating(monkeypatch):
