@@ -133,3 +133,48 @@ def test_serve_posterior_cli(tmp_path):
               f"--datasets_path={tmp_path}", f"--posterior={post}"])
     assert r3.returncode != 0
     assert "solved under config" in (r3.stdout + r3.stderr)
+
+
+@pytest.mark.slow
+def test_classify_gp_variances_and_evidence(tmp_path):
+    """`classify_gp --variances` (round-3 VERDICT #8): the checkpointed
+    store pipeline reports predictive-std summaries + train evidence from
+    the stored Kv_diag/Kt_diag, under both the float64 scipy path and the
+    float32 chol_dist factor path — and the two agree (scipy is the
+    oracle; the factor path's floor is eps32 * k_zz)."""
+    import re
+
+    out = str(tmp_path / "00_nw01.h5")
+    r = run(["exp_mnist_resnet.save_kernel", "--config=synthetic",
+             f"--datasets_path={tmp_path}", "--batch_size=128",
+             f"--out_path={out}"])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    def classify(solver):
+        r = run(["exp_mnist_resnet.classify_gp", "--config=synthetic",
+                 f"--datasets_path={tmp_path}", f"--in_path={out}",
+                 "--jitter=1e-6", f"--solver={solver}", "--variances"])
+        assert r.returncode == 0, r.stderr[-2000:]
+        stds = {m.group(1): float(m.group(2)) for m in re.finditer(
+            r"(validation|test) predictive std: mean ([\d.e+-]+)",
+            r.stdout)}
+        ev = float(re.search(r"train log evidence: ([-\d.e+]+)",
+                             r.stdout).group(1))
+        assert set(stds) == {"validation", "test"}, r.stdout
+        assert all(v > 0 for v in stds.values()), stds
+        return stds, ev
+
+    stds_sp, ev_sp = classify("scipy")
+    stds_cd, ev_cd = classify("chol_dist")
+    for k in stds_sp:
+        assert abs(stds_cd[k] - stds_sp[k]) < 2e-2 * stds_sp[k], (
+            k, stds_cd[k], stds_sp[k])
+    assert abs(ev_cd - ev_sp) < 1e-3 * abs(ev_sp), (ev_cd, ev_sp)
+
+
+def test_classify_gp_variances_solver_guard(tmp_path):
+    r = run(["exp_mnist_resnet.classify_gp", "--config=synthetic",
+             f"--datasets_path={tmp_path}", "--in_path=/nonexistent",
+             "--solver=chol_ir", "--variances"])
+    assert r.returncode != 0
+    assert "factor to whiten against" in (r.stderr + r.stdout)
