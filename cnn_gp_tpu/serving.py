@@ -29,6 +29,9 @@ provenance.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
+import json
+import os
 from typing import Optional
 
 import numpy as np
@@ -38,6 +41,7 @@ from . import settings
 __all__ = ["save_posterior", "load_posterior", "GPPredictor", "Posterior"]
 
 FORMAT_VERSION = 1
+_FACTOR_CACHE_VERSION = 1
 
 
 @dataclasses.dataclass
@@ -158,13 +162,31 @@ class GPPredictor:
     def classify(self, z) -> np.ndarray:
         return np.argmax(self.scores(z), axis=1)
 
-    def prepare_variances(self, mesh=None, block: int = 2048) -> None:
+    def prepare_variances(self, mesh=None, block: int = 2048,
+                          factor_cache: Optional[str] = None,
+                          write_cache: bool = True) -> None:
         """Rebuild the device factor from the stored training set and
         equilibration scalings: assembly + blocked in-place Cholesky, NO
         solve or refinement (the posterior is already solved).  Required
         once per process before :meth:`variances`; ~assembly-pass cost
         (BASELINE.md: 241s assemble + 12s factor at N=50k vs 1000s+ for
-        the full classify run this replaces)."""
+        the full classify run this replaces).
+
+        ``factor_cache`` (opt-in) names a DIRECTORY holding the factor as
+        an O(N^2) float32 file (~1 GB at 16k, ~10 GB at 50k — clearly a
+        disk-for-compute trade): when present and matching this
+        posterior/geometry, the factor is loaded+uploaded instead of
+        reassembled and refactorised; when absent, it is written after
+        the rebuild (``write_cache=False`` disables that).  Measured on
+        the real chip at N=16,384 (BASELINE.md "Serving: on-disk factor
+        cache"): loading is **12.1 s vs 42.9 s** for the solve-free
+        rebuild — the chunked upload sustains ~90 MB/s even through the
+        tunnel, and on a directly attached TPU (~GB/s H2D) it is
+        seconds.  The one-time WRITE pass costs extra (~121 s at 16k:
+        fetch the N^2 triangle to host + disk), so the cache pays off
+        from the second process onward.  A cache whose geometry or
+        posterior hash mismatches is refused (stale factors silently
+        produce wrong variances)."""
         from .parallel.device_large import rebuild_factor
 
         p = self.posterior
@@ -172,6 +194,9 @@ class GPPredictor:
             raise ValueError("posterior was saved without scalings; "
                              "variance serving needs them (save_posterior"
                              "(..., scalings=info['scalings']))")
+        if factor_cache and self._try_load_factor_cache(factor_cache, mesh,
+                                                        block):
+            return
         factor, x_all, s_dev = rebuild_factor(
             self.model, p.train_x, p.scalings,
             batch_size=self.batch_size, block=block, mesh=mesh)
@@ -179,6 +204,103 @@ class GPPredictor:
         # pin the lowering snapshot at rebuild time: the variance sweeps
         # must whiten cross-columns of the SAME kernel the factor holds
         self._var_ctx = (x_all, s_dev, settings.snapshot())
+        if factor_cache and write_cache:
+            self._write_factor_cache(factor_cache)
+
+    def _cache_meta(self, block: int, n_devices: int) -> dict:
+        """Identity of a factor cache: the posterior content (scalings +
+        training-set digest), the factor geometry, and the lowering
+        snapshot — any mismatch means the cached factor decomposed a
+        DIFFERENT matrix."""
+        p = self.posterior
+        h = hashlib.sha256()
+        h.update(np.ascontiguousarray(p.scalings).tobytes())
+        h.update(np.ascontiguousarray(p.train_x).tobytes())
+        return {
+            "version": _FACTOR_CACHE_VERSION,
+            "n": p.n,
+            "block": int(block),
+            "batch_size": int(self.batch_size),
+            "n_devices": int(n_devices),
+            "posterior_sha256": h.hexdigest(),
+            "settings_snapshot": repr(settings.snapshot()),
+        }
+
+    def _try_load_factor_cache(self, path, mesh, block: int) -> bool:
+        """Load a previously written factor cache; False if absent.
+        Raises on a PRESENT but mismatched cache — silently rebuilding
+        would hide that the expensive file on disk is stale."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel.chol_dist import _ShardedFactor
+        from .parallel.device_large import _pad_to_multiple
+        from .parallel.mesh import make_mesh
+
+        meta_p = os.path.join(path, "meta.json")
+        if not os.path.exists(meta_p):
+            return False
+        with open(meta_p) as fh:
+            meta = json.load(fh)
+        if mesh is None:
+            mesh = make_mesh()
+        want = self._cache_meta(block, mesh.devices.size)
+        if meta != want:
+            bad = [k for k in want if meta.get(k) != want[k]]
+            raise ValueError(
+                f"factor cache at {path} does not match this posterior/"
+                f"geometry (mismatched: {bad}); delete it or pass the "
+                f"matching block/batch_size/mesh")
+        p = self.posterior
+        f = _ShardedFactor(mesh, p.n, block, pad_to=self.batch_size)
+        l_mm = np.lib.format.open_memmap(os.path.join(path, "l.npy"),
+                                         mode="r")
+        if l_mm.shape != (f.n_pad, f.n_pad):
+            raise ValueError(f"factor cache shape {l_mm.shape} != computed "
+                             f"n_pad {f.n_pad}")
+        f.l_loc = f._upload_rows(lambda r0, r1: l_mm[r0:r1])
+        f.diags = jax.device_put(np.load(os.path.join(path, "diags.npy")),
+                                 NamedSharding(mesh, P()))
+        self._factor = f
+        x_pad = _pad_to_multiple(np.asarray(p.train_x, np.float32),
+                                 self.batch_size)
+        s_pad = np.ones(len(x_pad), np.float32)
+        s_pad[:p.n] = p.scalings
+        self._var_ctx = (jax.device_put(x_pad), jax.device_put(s_pad),
+                         settings.snapshot())
+        return True
+
+    def _write_factor_cache(self, path) -> None:
+        """Persist the live factor: the row-sharded [n_pad, n_pad] lower
+        triangle fetched in bounded row blocks into a memmapped .npy
+        (never a second whole-matrix host copy) + the replicated diag
+        stack + the identity metadata."""
+        import functools
+
+        import jax
+        from jax import lax
+
+        f = self._factor
+        os.makedirs(path, exist_ok=True)
+        meta = self._cache_meta(f.block, f.mesh.devices.size)
+        rows = min(4096, f.n_pad)
+
+        @functools.partial(jax.jit, static_argnames=("rows",))
+        def fetch(l, r0, rows):
+            return lax.dynamic_slice(l, (r0, 0), (rows, l.shape[1]))
+
+        l_mm = np.lib.format.open_memmap(
+            os.path.join(path, "l.npy"), mode="w+", dtype=np.float32,
+            shape=(f.n_pad, f.n_pad))
+        from .parallel.chol_dist import _chunk_starts
+        for r0 in _chunk_starts(f.n_pad, rows):   # slide-back: idempotent
+            l_mm[r0:r0 + rows] = np.asarray(fetch(f.l_loc, np.int32(r0),
+                                                  rows))
+        l_mm.flush()
+        del l_mm
+        np.save(os.path.join(path, "diags.npy"), np.asarray(f.diags))
+        with open(os.path.join(path, "meta.json"), "w") as fh:
+            json.dump(meta, fh)
 
     def variances(self, z) -> np.ndarray:
         """GP posterior variances ``k_zz - k_zx (K + jr I)^-1 k_xz``

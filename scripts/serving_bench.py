@@ -30,8 +30,14 @@ FLAGS = absl.flags.FLAGS
 
 
 def _median_rate(fn, make_z, rounds, batch):
+    """(median q/s, per-round q/s list, latency percentiles dict).
+
+    Latency is per-BATCH wall (submit -> scores fetched), the number a
+    serving SLO is written against; p50/p99 are interpolated over the
+    measured rounds (with few rounds p99 degrades toward the max — raise
+    --rounds for tail resolution)."""
     fn(make_z(0))                       # warm: compile + upload
-    rates = []
+    rates, lats = [], []
     for r in range(1, rounds + 1):
         z = make_z(r)
         t0 = time.perf_counter()
@@ -39,7 +45,12 @@ def _median_rate(fn, make_z, rounds, batch):
         dt = time.perf_counter() - t0
         assert np.asarray(out).shape[0] == batch
         rates.append(batch / dt)
-    return float(np.median(rates)), rates
+        lats.append(dt)
+    lat_ms = np.asarray(lats) * 1e3
+    pct = {"p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
+           "p99_ms": round(float(np.percentile(lat_ms, 99)), 1),
+           "max_ms": round(float(lat_ms.max()), 1)}
+    return float(np.median(rates)), rates, pct
 
 
 def main(argv):
@@ -80,29 +91,36 @@ def main(argv):
     def make_z(r):
         return rng.rand(qb, *shape).astype(np.float32)
 
-    mean_qps, mean_rates = _median_rate(pred.classify, make_z,
-                                        FLAGS.rounds, qb)
+    mean_qps, mean_rates, mean_lat = _median_rate(pred.classify, make_z,
+                                                  FLAGS.rounds, qb)
     print(f"mean-prediction: median {mean_qps:.1f} q/s over "
           f"{FLAGS.rounds} x {qb}-query batches "
-          f"({[f'{r:.1f}' for r in mean_rates]})")
+          f"({[f'{r:.1f}' for r in mean_rates]}) latency {mean_lat}")
 
-    var_qps = None
+    var_qps = var_lat = prep = None
     if FLAGS.variances:
         t0 = time.perf_counter()
-        pred.prepare_variances(block=FLAGS.block)
+        pred.prepare_variances(block=FLAGS.block,
+                               factor_cache=FLAGS.factor_cache or None)
         prep = time.perf_counter() - t0
-        print(f"prepare_variances (assembly+factor, no solve): {prep:.1f}s")
-        var_qps, var_rates = _median_rate(pred.variances, make_z,
-                                          FLAGS.rounds, qb)
+        print(f"prepare_variances"
+              f"{' (factor_cache)' if FLAGS.factor_cache else ''}: "
+              f"{prep:.1f}s")
+        var_qps, var_rates, var_lat = _median_rate(pred.variances, make_z,
+                                                   FLAGS.rounds, qb)
         print(f"variances: median {var_qps:.1f} q/s "
-              f"({[f'{r:.1f}' for r in var_rates]})")
+              f"({[f'{r:.1f}' for r in var_rates]}) latency {var_lat}")
 
     print(json.dumps({
         "n_train": post.n, "config": FLAGS.config,
         "query_batch": qb, "rounds": FLAGS.rounds,
         "mean_queries_per_s": round(mean_qps, 2),
+        "mean_batch_latency": mean_lat,
         "variance_queries_per_s": (round(var_qps, 2)
                                    if var_qps is not None else None),
+        "variance_batch_latency": var_lat,
+        "prepare_variances_s": (round(prep, 1) if prep is not None
+                                else None),
     }))
 
 
@@ -115,7 +133,11 @@ if __name__ == "__main__":
     f.DEFINE_integer("batch_size", 128, "Gram tile size")
     f.DEFINE_integer("block", 2048, "factor block size")
     f.DEFINE_integer("query_batch", 256, "queries per timed batch")
-    f.DEFINE_integer("rounds", 5, "timed batches per measurement")
+    f.DEFINE_integer("rounds", 20, "timed batches per measurement (p99 "
+                     "latency resolution improves with more rounds)")
+    f.DEFINE_string("factor_cache", "", "opt-in on-disk factor cache "
+                    "directory (an O(N^2) file) for prepare_variances — "
+                    "see GPPredictor.prepare_variances for when it wins")
     f.DEFINE_integer("seed", 0, "synthetic data seed")
     f.DEFINE_boolean("variances", True,
                      "also measure variance-query throughput (needs the "

@@ -178,3 +178,59 @@ def test_serving_bench_script():
     assert d["n_train"] == 64
     assert d["mean_queries_per_s"] > 0
     assert d["variance_queries_per_s"] > 0
+
+
+def test_factor_cache_roundtrip(model, mesh, solved, tmp_path):
+    """The opt-in on-disk factor cache: first prepare writes it, a fresh
+    predictor loads it instead of reassembling, and cached-factor
+    variances are bit-identical to the rebuilt-factor ones (same factor
+    values, same whitening programs)."""
+    p = load_posterior(solved["path"])
+    cache = str(tmp_path / "fcache")
+
+    pred1 = GPPredictor(model, p, batch_size=16)
+    pred1.prepare_variances(mesh=mesh, block=32, factor_cache=cache)
+    want = pred1.variances(solved["zx"])
+    import os
+    assert os.path.exists(os.path.join(cache, "l.npy"))
+    assert os.path.exists(os.path.join(cache, "meta.json"))
+
+    pred2 = GPPredictor(model, p, batch_size=16)
+    # poison rebuild: loading must NOT reassemble
+    import cnn_gp_tpu.parallel.device_large as dl
+    real = dl.rebuild_factor
+    try:
+        dl.rebuild_factor = None
+        pred2.prepare_variances(mesh=mesh, block=32, factor_cache=cache)
+    finally:
+        dl.rebuild_factor = real
+    got = pred2.variances(solved["zx"])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_factor_cache_mismatch_refused(model, mesh, solved, tmp_path):
+    """A PRESENT cache that does not match the requested geometry or the
+    posterior content is an error, not a silent rebuild — the stale
+    O(N^2) file on disk is exactly what the user thinks they are using."""
+    p = load_posterior(solved["path"])
+    cache = str(tmp_path / "fcache")
+    pred = GPPredictor(model, p, batch_size=16)
+    pred.prepare_variances(mesh=mesh, block=32, factor_cache=cache)
+
+    with pytest.raises(ValueError, match="does not match"):
+        GPPredictor(model, p, batch_size=16).prepare_variances(
+            mesh=mesh, block=16, factor_cache=cache)    # wrong block
+
+    # wrong posterior content (scalings perturbed)
+    import dataclasses
+    p2 = dataclasses.replace(p, scalings=p.scalings * 1.001)
+    with pytest.raises(ValueError, match="does not match"):
+        GPPredictor(model, p2, batch_size=16).prepare_variances(
+            mesh=mesh, block=32, factor_cache=cache)
+
+    # absent cache dir: quiet rebuild + write_cache=False leaves nothing
+    cache2 = str(tmp_path / "other")
+    GPPredictor(model, p, batch_size=16).prepare_variances(
+        mesh=mesh, block=32, factor_cache=cache2, write_cache=False)
+    import os
+    assert not os.path.exists(cache2)
