@@ -48,9 +48,11 @@ def main(_):
 
     if FLAGS.variances:
         t0 = time.perf_counter()
-        predictor.prepare_variances(block=FLAGS.block)
-        print(f"factor rebuilt (no solve) in "
-              f"{time.perf_counter() - t0:.1f}s")
+        predictor.prepare_variances(block=FLAGS.block,
+                                    factor_cache=FLAGS.factor_cache or None)
+        print(f"variance factor ready (no solve"
+              f"{', cache at ' + FLAGS.factor_cache if FLAGS.factor_cache else ''}) "
+              f"in {time.perf_counter() - t0:.1f}s")
 
     for name, split in (("validation", dataset.validation),
                         ("test", dataset.test)):
@@ -84,6 +86,11 @@ if __name__ == "__main__":
                      "device factor once, solve-free)")
     f.DEFINE_integer("block", 2048, "Cholesky block size for the variance "
                      "factor rebuild")
+    f.DEFINE_string("factor_cache", "", "opt-in on-disk factor cache "
+                    "directory (an O(N^2) file): written on the first "
+                    "--variances run, loaded instead of reassembled on "
+                    "subsequent ones — measured 12.1s vs 42.9s at 16k "
+                    "(BASELINE.md 'Serving: on-disk factor cache')")
     f.DEFINE_boolean("allow_settings_mismatch", False,
                      "serve a posterior recorded under different "
                      "kernel-lowering settings (cnn_gp_tpu.settings) — "

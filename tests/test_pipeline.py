@@ -117,16 +117,32 @@ def test_serve_posterior_cli(tmp_path):
     solve_accs = [line for line in r.stdout.splitlines()
                   if "accuracy:" in line]
 
+    cache = str(tmp_path / "fcache")
     r2 = run(["exp_mnist_resnet.serve_gp", "--config=synthetic",
               f"--datasets_path={tmp_path}", f"--posterior={post}",
-              "--batch_size=32", "--block=64", "--variances"])
+              "--batch_size=32", "--block=64", "--variances",
+              f"--factor_cache={cache}"])
     assert r2.returncode == 0, r2.stderr[-2000:]
-    assert "factor rebuilt (no solve)" in r2.stdout, r2.stdout
+    assert "variance factor ready (no solve" in r2.stdout, r2.stdout
     assert "predictive std" in r2.stdout, r2.stdout
     # identical accuracies (same tile size => identical float32 sweeps)
     for line in solve_accs:
         split, acc = line.split(" accuracy: ")
         assert f"{split} accuracy: {acc}" in r2.stdout, (line, r2.stdout)
+
+    # a fresh process loads the written factor cache instead of
+    # reassembling, and serves the same std summaries
+    import os
+    assert os.path.exists(os.path.join(cache, "l.npy"))
+    r2b = run(["exp_mnist_resnet.serve_gp", "--config=synthetic",
+               f"--datasets_path={tmp_path}", f"--posterior={post}",
+               "--batch_size=32", "--block=64", "--variances",
+               f"--factor_cache={cache}"])
+    assert r2b.returncode == 0, r2b.stderr[-2000:]
+    stds = [ln.rsplit("  (", 1)[0] for ln in r2.stdout.splitlines()
+            if "predictive std" in ln]
+    for ln in stds:
+        assert ln in r2b.stdout, (ln, r2b.stdout)
 
     # a mismatched --config would serve a different kernel => refused
     r3 = run(["exp_mnist_resnet.serve_gp", "--config=mnist",
