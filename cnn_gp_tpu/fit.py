@@ -34,6 +34,20 @@ Two NMLL paths with different scale ceilings:
   per step); the device legs scale like ordinary Gram assembly.
   Measured at N=2048 on the paper ConvNet GP (BASELINE.md "Type-II ML
   at scale").
+* ``ProbedNMLL`` / ``fit_large(grad="probed")`` — the fully
+  device-resident path with NO host O(N^2): the equilibrated Gram is
+  assembled straight into the blocked sharded factor's buffer
+  (``parallel.device_large`` machinery, one [N_pad, N_pad] float32 in
+  HBM), the value reads the factor's log-diagonal, and the gradient
+  replaces the dense ``C K^{-1}`` cotangent with the Hutchinson
+  estimator ``K^{-1} ~ (1/P) sum_p u_p z_p^T`` (u = K^{-1} z through
+  the factor), so every tile's cotangent is a rank-(P+C) outer product
+  computed on device from two [N, P]-sized matrices.  Unbiased
+  (exactness recovered under the scaled-basis probe matrix — see
+  ``tests/test_fit.py``); per-step noise ~1/sqrt(P) on the trace term,
+  which Adam absorbs.  This is the path past the host ceiling: the
+  whole step is Gram-assembly-priced at any N the classify path
+  reaches (50k+).
 """
 
 from __future__ import annotations
@@ -48,7 +62,7 @@ import numpy as np
 from .kernels import apply_kernel
 
 __all__ = ["neg_marginal_log_likelihood", "fit",
-           "nmll_value_and_grad_tiled", "fit_large"]
+           "nmll_value_and_grad_tiled", "fit_large", "ProbedNMLL"]
 
 
 def neg_marginal_log_likelihood(model, x: jax.Array, y: jax.Array,
@@ -260,9 +274,233 @@ def nmll_value_and_grad_tiled(model, x, y: np.ndarray, jitter: float = 1e-6,
     return loss, jax.tree_util.tree_map(np.asarray, grad)
 
 
+@functools.partial(jax.jit, donate_argnums=0,
+                   static_argnames=("b", "n", "snap"))
+def _probed_grad_chunk_jit(grad, model, x_all, offsets, u_all, z_all,
+                           a_all, cp, b, n, snap):
+    """One bounded chunk of Gram-tile VJPs against the RANK-STRUCTURED
+    probed cotangent: for manifest row ``(i0, j0, w)`` the cotangent tile
+    is assembled ON DEVICE from slices of the solved probe matrix ``U``
+    ([m_pad, P], ``u = K'^{-1} z`` in raw space, zero pad rows), the
+    probe draws ``Z`` ([m_pad, P]), and the solved targets ``A``
+    ([m_pad, C]):
+
+        ct = 0.5 * (cp * (U_i Z_j^T + Z_i U_j^T) - A_i A_j^T),
+        cp = C / (2 P)
+
+    — the Hutchinson estimate of the evidence-identity cotangent
+    ``0.5 (C K'^{-1} - A A^T)``, symmetrised so the upper-triangle
+    weight-2 contraction stays exact for symmetric dK.  Nothing O(N^2)
+    is ever materialised or uploaded (the exact path ships a [b, b]
+    cotangent per tile from the host — ~4.7 GB of upload at 50k).
+    Same widened diag mask and grad-safe semantics as
+    `_grad_chunk_jit`."""
+    del snap
+
+    def body(g, off):
+        i0, j0 = off[0], off[1]
+        w = off[2].astype(jnp.float32)
+
+        def tile(m):
+            xi = jax.lax.dynamic_slice_in_dim(x_all, i0, b)
+            xj = jax.lax.dynamic_slice_in_dim(x_all, j0, b)
+            rows = i0 + jnp.arange(b)
+            cols = j0 + jnp.arange(b)
+            mask = ((rows[:, None] == cols[None, :])
+                    | (rows >= n)[:, None] | (cols >= n)[None, :])
+            return apply_kernel(m, xi, xj, False, False, mask)
+
+        ui = jax.lax.dynamic_slice_in_dim(u_all, i0, b)
+        uj = jax.lax.dynamic_slice_in_dim(u_all, j0, b)
+        zi = jax.lax.dynamic_slice_in_dim(z_all, i0, b)
+        zj = jax.lax.dynamic_slice_in_dim(z_all, j0, b)
+        ai = jax.lax.dynamic_slice_in_dim(a_all, i0, b)
+        aj = jax.lax.dynamic_slice_in_dim(a_all, j0, b)
+        ct = 0.5 * (cp * (ui @ zj.T + zi @ uj.T) - ai @ aj.T)
+        _, vjp = jax.vjp(tile, model)
+        (gm,) = vjp(w * ct)
+        return jax.tree_util.tree_map(jnp.add, g, gm), None
+
+    return jax.lax.scan(body, grad, offsets)[0]
+
+
+def _weighted_chunks(offs: np.ndarray, c: int):
+    """Fixed-size [c, 3] chunks of an (i0, j0, w) manifest, tail padded
+    with weight-0 repeats so ONE compiled program serves every chunk."""
+    c = min(c, len(offs))
+    for r0 in range(0, len(offs), c):
+        chunk = offs[r0:r0 + c]
+        if len(chunk) < c:
+            pad = np.repeat(chunk[-1:], c - len(chunk), axis=0)
+            pad[:, -1] = 0
+            chunk = np.concatenate([chunk, pad])
+        yield chunk
+
+
+class ProbedNMLL:
+    """Reusable device-resident NMLL value+gradient for one training set:
+    construct once, call :meth:`value_and_grad` once per optimisation
+    step (`fit_large(grad="probed")` does exactly this).  All compiled
+    programs — assembly chunks, the blocked factor step, solvers, the
+    VJP chunks — are built on the first step and reused; the padded
+    training set is uploaded once.
+
+    Same objective and jitter convention as
+    :func:`nmll_value_and_grad_tiled` (the NMLL of ``K + s_bar*jitter*I``
+    with ``s_bar = mean(diag K)`` treated as constant); the value's
+    log-determinant reads the float32 factor's diagonal
+    (`chol_dist._ShardedFactor.log_diag_sum`, equilibration-corrected)
+    and the quadratic form reuses the refined solve, exactly like the
+    classify path's evidence.  The gradient's dense-trace cotangent is
+    replaced by the Hutchinson estimator with ``probes`` Rademacher
+    draws — unbiased, per-step standard error ~1/sqrt(P) on the trace
+    term (stochastic-trace estimation is the standard scalable-GP
+    device, e.g. Gardner et al. 2018, GPyTorch).  A fresh seed per step
+    gives independent draws, so the optimiser sees unbiased gradients
+    throughout.
+
+    The reference has no hyperparameter optimisation at all; this path
+    exists so type-II ML runs at the same N the device classify path
+    reaches, past the host-float64 ceiling of the exact tiled path
+    (reference anchor: the random-searched constants in
+    configs/mnist_paper_convnet_gp.py:16-30)."""
+
+    def __init__(self, x, y, *, jitter: float = 1e-6,
+                 batch_size: int = 128, block: int = 1024,
+                 probes: int = 16, mesh=None, refine_iters: int = 1,
+                 tiles_per_call: int = 256):
+        from .parallel.chol_dist import _ShardedFactor
+        from .parallel.mesh import make_mesh
+        from .parallel import device_large as dl
+
+        if mesh is None:
+            mesh = make_mesh()
+        x32 = np.asarray(x, np.float32)
+        self.n = n = len(x32)
+        self.b = b = min(batch_size, n)
+        self.jitter = jitter
+        self.probes = probes
+        self.refine_iters = refine_iters
+        self.tiles_per_call = tiles_per_call
+        self.mesh = mesh
+        self.factor = _ShardedFactor(mesh, n, block, pad_to=b)
+        self.m_pad = m_pad = -(-n // b) * b
+        assert m_pad <= self.factor.n_pad, (m_pad, self.factor.n_pad)
+        # cyclic padding, not zeros: pad rows must be ordinary images for
+        # the backward pass (see nmll_value_and_grad_tiled's pad note)
+        self.x_all = jnp.asarray(x32[np.arange(m_pad) % n])
+        self.y64 = np.asarray(y, np.float64)
+        self.diag_offs = jnp.asarray(np.arange(0, m_pad, b, dtype=np.int32))
+        self.lower_offs = dl._lower_offsets(n, b)
+        self.upper_offs = dl._upper_offsets(n, b)
+        nt = m_pad // b
+        self.grad_manifest = np.asarray(
+            [(i * b, j * b, 1 if i == j else 2)
+             for i in range(nt) for j in range(i, nt)], np.int32)
+        # measured-floor tolerance for the refinement residual, as in
+        # classify_device_large
+        self.tol = 3.0 * np.sqrt(n) * float(np.finfo(np.float32).eps)
+
+    def value_and_grad(self, model, seed: int = 0,
+                       _probe_matrix: Optional[np.ndarray] = None):
+        """One step's (loss, grad_pytree).  ``_probe_matrix`` [n, P]
+        overrides the Rademacher draw (tests: ``sqrt(n) * I`` makes the
+        Hutchinson estimator EXACT, recovering the tiled path's gradient
+        bit-for-bit-at-float32)."""
+        from . import settings
+        from .parallel import device_large as dl
+
+        n, b, m_pad = self.n, self.b, self.m_pad
+        snap = settings.snapshot()
+
+        # 1) diagonal -> jitter scale + Jacobi equilibration
+        diag = np.asarray(dl._diag_scan_jit(
+            model, self.x_all, self.diag_offs, b, n, m_pad, snap),
+            np.float64)[:n]
+        jitter_raw = self.jitter * float(np.mean(diag))
+        s64 = 1.0 / np.sqrt(diag + jitter_raw)
+        s_pad = np.ones(self.factor.n_pad, np.float32)
+        s_pad[:n] = s64
+        s_dev = jnp.asarray(s_pad[:m_pad])
+
+        # 2) scaled Gram assembled straight into the factor buffer.
+        # Free the PREVIOUS step's factor first: two [n_pad, n_pad]
+        # residents is an instant OOM at 50k on a 16 GB chip.
+        self.factor.l_loc = None
+        self.factor.diags = None
+        k = dl._assemble_scaled(model, self.x_all, jnp.asarray(s_pad),
+                                self.lower_offs, b, n, self.factor.n_pad,
+                                self.mesh)
+        self.factor._factorize_dev(k)
+        del k
+
+        # 3) targets and probes through ONE batched solve (+ bounded IR:
+        # each residual is a tile-regeneration matvec sweep)
+        c_cls = self.y64.shape[1]
+        if _probe_matrix is not None:
+            z = np.asarray(_probe_matrix, np.float64)
+            p = z.shape[1]
+        else:
+            rng = np.random.default_rng(seed)
+            p = self.probes
+            z = (rng.integers(0, 2, size=(n, p)) * 2.0 - 1.0)
+        rhs = np.concatenate([self.y64, z], axis=1)
+        rs = s64[:, None] * rhs
+        rnorm = np.linalg.norm(rs, axis=0)
+        rnorm[rnorm == 0] = 1.0
+
+        def matvec(a64):
+            a_f32 = np.zeros((m_pad, a64.shape[1]), np.float32)
+            a_f32[:n] = a64
+            out = dl._matvec_scan(model, self.x_all, s_dev,
+                                  self.upper_offs, jnp.asarray(a_f32),
+                                  b, n, snap)
+            return np.asarray(out, np.float64)[:n]
+
+        with jax.default_matmul_precision("highest"):
+            a_s = self.factor.solve(rs.astype(np.float32)).astype(
+                np.float64)
+            for _ in range(self.refine_iters):
+                r = rs - matvec(a_s)
+                if float(np.max(np.linalg.norm(r, axis=0)
+                                / rnorm)) <= self.tol:
+                    break
+                a_s = a_s + self.factor.solve(
+                    r.astype(np.float32)).astype(np.float64)
+
+        a_raw = s64[:, None] * a_s                     # K'^{-1} [y | z]
+        alpha, u = a_raw[:, :c_cls], a_raw[:, c_cls:]
+
+        # 4) value: quadratic form + factor log-determinant
+        loss = (0.5 * float(np.sum(self.y64 * alpha))
+                + c_cls * (self.factor.log_diag_sum()
+                           - float(np.sum(np.log(s64)))))
+
+        # 5) gradient: rank-structured cotangents against tile VJPs
+        u_dev = jnp.asarray(np.concatenate(
+            [u, np.zeros((m_pad - n, p))]).astype(np.float32))
+        z_dev = jnp.asarray(np.concatenate(
+            [z, np.zeros((m_pad - n, p))]).astype(np.float32))
+        a_dev = jnp.asarray(np.concatenate(
+            [alpha, np.zeros((m_pad - n, c_cls))]).astype(np.float32))
+        cp = jnp.float32(c_cls / (2.0 * p))
+        grad = jax.tree_util.tree_map(jnp.zeros_like, model)
+        with settings.override(grad_safe=True):
+            gsnap = settings.snapshot()
+            with jax.default_matmul_precision("highest"):
+                for chunk in _weighted_chunks(self.grad_manifest,
+                                              self.tiles_per_call):
+                    grad = _probed_grad_chunk_jit(
+                        grad, model, self.x_all, jnp.asarray(chunk),
+                        u_dev, z_dev, a_dev, cp, b, n, gsnap)
+        return loss, jax.tree_util.tree_map(np.asarray, grad)
+
+
 def fit_large(model, x, y, steps: int = 30, learning_rate: float = 0.1,
               jitter: float = 1e-6, batch_size: int = 128,
-              verbose: bool = False) -> Tuple[object, np.ndarray]:
+              verbose: bool = False, grad: str = "exact",
+              probes: int = 16, block: int = 1024, mesh=None,
+              seed: int = 0) -> Tuple[object, np.ndarray]:
     """Type-II ML at Gram-assembly scale: the `fit` loop driven by
     :func:`nmll_value_and_grad_tiled` instead of the whole-matrix jit.
     Positive leaves are optimised in log space exactly as in :func:`fit`
@@ -272,18 +510,38 @@ def fit_large(model, x, y, steps: int = 30, learning_rate: float = 0.1,
     the BEST-loss iterate, not the last one — the loss is exact (host
     float64), so keeping the argmin costs nothing and survives late-run
     Adam overshoot (measured at N=2048: the trajectory bottomed at step
-    24 of 30 and bounced; BASELINE.md "Type-II ML at scale")."""
+    24 of 30 and bounced; BASELINE.md "Type-II ML at scale").
+
+    ``grad="probed"`` switches to the fully device-resident
+    :class:`ProbedNMLL` path (Hutchinson-trace cotangents through the
+    blocked device factor, ``probes`` draws, fresh seed per step) — use
+    it past the exact path's host-float64 ceiling (~16k on a 1-core
+    host) or whenever the host O(N^3) per step dominates; the best-loss
+    iterate logic still applies (the value term is solver-exact, only
+    the gradient is stochastic)."""
     import optax
+
+    if grad not in ("exact", "probed"):
+        raise ValueError(f"grad must be 'exact' or 'probed', got {grad!r}")
+    plan = None
+    if grad == "probed":
+        plan = ProbedNMLL(x, y, jitter=jitter, batch_size=batch_size,
+                          block=block, probes=probes, mesh=mesh)
 
     opt = optax.adam(learning_rate)
     raw = _to_log_space(model)
     opt_state = opt.init(raw)
     losses = []
     best_raw, best_loss = raw, np.inf
+    import time
     for it in range(steps):
+        t0 = time.perf_counter()
         primal, vjp_log = jax.vjp(_from_log_space, raw)
-        loss, g_primal = nmll_value_and_grad_tiled(
-            primal, x, y, jitter=jitter, batch_size=batch_size)
+        if plan is not None:
+            loss, g_primal = plan.value_and_grad(primal, seed=seed + it)
+        else:
+            loss, g_primal = nmll_value_and_grad_tiled(
+                primal, x, y, jitter=jitter, batch_size=batch_size)
         if loss < best_loss:
             best_raw, best_loss = raw, loss
         (g_raw,) = vjp_log(jax.tree_util.tree_map(
@@ -292,5 +550,6 @@ def fit_large(model, x, y, steps: int = 30, learning_rate: float = 0.1,
         raw = optax.apply_updates(raw, updates)
         losses.append(float(loss))
         if verbose:
-            print(f"[fit_large] step {it}: nmll {loss:.4f}", flush=True)
+            print(f"[fit_large] step {it}: nmll {loss:.4f} "
+                  f"({time.perf_counter() - t0:.1f}s)", flush=True)
     return _from_log_space(best_raw), np.asarray(losses)

@@ -348,17 +348,23 @@ class _ShardedFactor:
         row = NamedSharding(self.mesh, P(self.axis, None))
         repl = NamedSharding(self.mesh, P())
         nb = self.n_pad // self.block
-        step = jax.jit(jax.shard_map(
-            _factor_step_fn(self.axis, self.n_pad, self.block,
-                            self.rows_local),
-            mesh=self.mesh, in_specs=(P(self.axis, None), P(), P()),
-            out_specs=(P(self.axis, None), P()),
-            # the diag stack and solve outputs are replicated by
-            # construction (all devices compute them from all-gathered /
-            # psum'd values); skip the varying-manner check that cannot
-            # see through the loop carries
-            check_vma=False),
-            donate_argnums=(0, 1), out_shardings=(row, repl))
+        if "factor_step" not in self._solvers:
+            # cached on the instance: a loop that re-factorises through
+            # the same factor object (fit_large's probed path, one
+            # factorisation per optimisation step) must reuse ONE
+            # compiled step program, not rebuild the jit every step
+            self._solvers["factor_step"] = jax.jit(jax.shard_map(
+                _factor_step_fn(self.axis, self.n_pad, self.block,
+                                self.rows_local),
+                mesh=self.mesh, in_specs=(P(self.axis, None), P(), P()),
+                out_specs=(P(self.axis, None), P()),
+                # the diag stack and solve outputs are replicated by
+                # construction (all devices compute them from all-gathered /
+                # psum'd values); skip the varying-manner check that cannot
+                # see through the loop carries
+                check_vma=False),
+                donate_argnums=(0, 1), out_shardings=(row, repl))
+        step = self._solvers["factor_step"]
         diags = jax.device_put(
             np.zeros((nb, self.block, self.block), np.float32), repl)
         # TPU f32 matmuls default to bf16 accumulation -- fatal inside a

@@ -119,6 +119,36 @@ def _diag_scan_jit(model, x_all, offsets, b, n, n_pad, snap):
     return d.reshape(-1)
 
 
+@functools.lru_cache(maxsize=None)
+def _asm_programs(mesh):
+    """The two assembly programs, cached per mesh: a loop that assembles
+    repeatedly on the same mesh (fit_large's probed path re-assembles the
+    scaled Gram every optimisation step) must reuse the compiled
+    programs, not rebuild the jit wrappers per call."""
+    row = row_sharded(mesh)
+
+    @functools.partial(jax.jit, static_argnames=("n_pad",),
+                       out_shardings=row)
+    def init(n_pad):
+        i = lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
+        j = lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+        return jnp.where(i == j, 1.0, 0.0).astype(jnp.float32)
+
+    @functools.partial(jax.jit, donate_argnums=0,
+                       static_argnames=("b", "n", "snap"),
+                       out_shardings=row)
+    def asm_chunk(k, model, x_all, s_pad, offs, b, n, snap):
+        del snap
+
+        def body(k, off):
+            blk = _scaled_tile(model, x_all, s_pad, off[0], off[1], b, n)
+            return lax.dynamic_update_slice(k, blk, (off[0], off[1])), None
+
+        return lax.scan(body, k, offs)[0]
+
+    return init, asm_chunk
+
+
 def _assemble_scaled(model, x_all, s_pad, offsets, b, n, n_pad, mesh,
                      tiles_per_call: int = 4096):
     """The scaled padded system matrix (lower triangle + diagonal), born
@@ -143,28 +173,8 @@ def _assemble_scaled(model, x_all, s_pad, offsets, b, n, n_pad, mesh,
     instead of a scatter).  Tiles are fed in bounded chunks so each
     program stays small.
     """
-    row = row_sharded(mesh)
+    init, asm_chunk = _asm_programs(mesh)
     snap = settings.snapshot()
-
-    @functools.partial(jax.jit, static_argnames=("n_pad",),
-                       out_shardings=row)
-    def init(n_pad):
-        i = lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
-        j = lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
-        return jnp.where(i == j, 1.0, 0.0).astype(jnp.float32)
-
-    @functools.partial(jax.jit, donate_argnums=0,
-                       static_argnames=("b", "n", "snap"),
-                       out_shardings=row)
-    def asm_chunk(k, model, x_all, s_pad, offs, b, n, snap):
-        del snap
-
-        def body(k, off):
-            blk = _scaled_tile(model, x_all, s_pad, off[0], off[1], b, n)
-            return lax.dynamic_update_slice(k, blk, (off[0], off[1])), None
-
-        return lax.scan(body, k, offs)[0]
-
     k = init(n_pad)
     offsets = np.asarray(offsets)
     c = tiles_per_call

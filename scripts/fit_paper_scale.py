@@ -88,6 +88,8 @@ def main(_):
     rows = []
 
     def report(name, model):
+        if FLAGS.timing_only:
+            return
         t0 = time.perf_counter()
         acc, lml = evaluate(model, tr_x, tr_y, te_x, te_y, b, FLAGS.jitter)
         rows.append((name, acc, lml))
@@ -101,7 +103,8 @@ def main(_):
     fitted, losses = fit_large(
         paper_convnet(FLAGS.vw_init, FLAGS.vb_init, learnable=True),
         tr_x, y_fit, steps=FLAGS.steps, learning_rate=FLAGS.learning_rate,
-        jitter=FLAGS.jitter, batch_size=b, verbose=True)
+        jitter=FLAGS.jitter, batch_size=b, verbose=True,
+        grad=FLAGS.grad, probes=FLAGS.probes, block=FLAGS.block)
     print(f"fit_large: {FLAGS.steps} steps in {time.perf_counter() - t0:.1f}s"
           f"  nmll {losses[0]:.4f} -> {losses[-1]:.4f}", flush=True)
     vws = [float(m.var_weight) / (7 ** 2 if m.kernel_size == 7 else 1)
@@ -114,6 +117,8 @@ def main(_):
           flush=True)
     report("fitted", fitted)
 
+    if FLAGS.timing_only:
+        return
     init_acc, init_lml = rows[0][1:]
     paper_acc, paper_lml = rows[1][1:]
     fit_acc, fit_lml = rows[2][1:]
@@ -133,4 +138,12 @@ if __name__ == "__main__":
     f.DEFINE_float("jitter", 1e-6, "relative jitter (vs mean Gram diag)")
     f.DEFINE_float("vw_init", 1.0, "initial var_weight (config units)")
     f.DEFINE_float("vb_init", 1.0, "initial var_bias")
+    f.DEFINE_string("grad", "exact", "'exact' (host f64 inverse, <=16k) "
+                    "or 'probed' (fully device-resident Hutchinson "
+                    "cotangents — the path past the host ceiling)")
+    f.DEFINE_integer("probes", 16, "Hutchinson probe count (grad=probed)")
+    f.DEFINE_integer("block", 1024, "factor block size (grad=probed)")
+    f.DEFINE_boolean("timing_only", False, "skip the scipy f64 "
+                     "evaluation legs (impossible past ~16k on this "
+                     "host) — just run and time the fit steps")
     absl.app.run(main)
