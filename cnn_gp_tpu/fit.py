@@ -276,30 +276,32 @@ def nmll_value_and_grad_tiled(model, x, y: np.ndarray, jitter: float = 1e-6,
 
 @functools.partial(jax.jit, donate_argnums=0,
                    static_argnames=("b", "n", "snap"))
-def _probed_grad_chunk_jit(grad, model, x_all, offsets, u_all, z_all,
-                           a_all, cp, b, n, snap):
+def _probed_grad_chunk_jit(grad, model, x_all, offsets, weights, u_all,
+                           z_all, a_all, cp, b, n, snap):
     """One bounded chunk of Gram-tile VJPs against the RANK-STRUCTURED
-    probed cotangent: for manifest row ``(i0, j0, w)`` the cotangent tile
-    is assembled ON DEVICE from slices of the solved probe matrix ``U``
-    ([m_pad, P], ``u = K'^{-1} z`` in raw space, zero pad rows), the
-    probe draws ``Z`` ([m_pad, P]), and the solved targets ``A``
-    ([m_pad, C]):
+    probed cotangent: for manifest row ``(i0, j0)`` with float weight
+    ``w`` the cotangent tile is assembled ON DEVICE from slices of the
+    solved probe matrix ``U`` ([m_pad, P], ``u = K'^{-1} z`` in raw
+    space, zero pad rows), the probe draws ``Z`` ([m_pad, P]), and the
+    solved targets ``A`` ([m_pad, C]):
 
         ct = 0.5 * (cp * (U_i Z_j^T + Z_i U_j^T) - A_i A_j^T),
         cp = C / (2 P)
 
     — the Hutchinson estimate of the evidence-identity cotangent
     ``0.5 (C K'^{-1} - A A^T)``, symmetrised so the upper-triangle
-    weight-2 contraction stays exact for symmetric dK.  Nothing O(N^2)
-    is ever materialised or uploaded (the exact path ships a [b, b]
-    cotangent per tile from the host — ~4.7 GB of upload at 50k).
-    Same widened diag mask and grad-safe semantics as
-    `_grad_chunk_jit`."""
+    weight-2 contraction stays exact for symmetric dK.  Weights are
+    float: tile subsampling rescales the survivors to keep the estimate
+    unbiased (``ProbedNMLL`` ``tile_fraction``); chunk padding is
+    weight 0.  Nothing O(N^2) is ever materialised or uploaded (the
+    exact path ships a [b, b] cotangent per tile from the host —
+    ~4.7 GB of upload at 50k).  Same widened diag mask and grad-safe
+    semantics as `_grad_chunk_jit`."""
     del snap
 
-    def body(g, off):
+    def body(g, inp):
+        off, w = inp
         i0, j0 = off[0], off[1]
-        w = off[2].astype(jnp.float32)
 
         def tile(m):
             xi = jax.lax.dynamic_slice_in_dim(x_all, i0, b)
@@ -321,20 +323,21 @@ def _probed_grad_chunk_jit(grad, model, x_all, offsets, u_all, z_all,
         (gm,) = vjp(w * ct)
         return jax.tree_util.tree_map(jnp.add, g, gm), None
 
-    return jax.lax.scan(body, grad, offsets)[0]
+    return jax.lax.scan(body, grad, (offsets, weights))[0]
 
 
-def _weighted_chunks(offs: np.ndarray, c: int):
-    """Fixed-size [c, 3] chunks of an (i0, j0, w) manifest, tail padded
-    with weight-0 repeats so ONE compiled program serves every chunk."""
+def _weighted_chunks(offs: np.ndarray, w: np.ndarray, c: int):
+    """Fixed-size chunks of an (offsets [T, 2] int32, weights [T]
+    float32) manifest, tail padded with weight-0 repeats so ONE compiled
+    program serves every chunk."""
     c = min(c, len(offs))
     for r0 in range(0, len(offs), c):
-        chunk = offs[r0:r0 + c]
-        if len(chunk) < c:
-            pad = np.repeat(chunk[-1:], c - len(chunk), axis=0)
-            pad[:, -1] = 0
-            chunk = np.concatenate([chunk, pad])
-        yield chunk
+        oc, wc = offs[r0:r0 + c], w[r0:r0 + c]
+        if len(oc) < c:
+            pad = c - len(oc)
+            oc = np.concatenate([oc, np.repeat(oc[-1:], pad, axis=0)])
+            wc = np.concatenate([wc, np.zeros(pad, np.float32)])
+        yield oc, wc
 
 
 class ProbedNMLL:
@@ -359,6 +362,18 @@ class ProbedNMLL:
     gives independent draws, so the optimiser sees unbiased gradients
     throughout.
 
+    ``tile_fraction < 1`` subsamples the strictly-upper tile manifest
+    per step (uniform without replacement, survivors rescaled by T/k, a
+    fresh draw per seed; diagonal tiles are always swept — they carry
+    the jitter-dominated diagonal mass) so the VJP sweep — measured 59%
+    of a warm 16k step — costs only that fraction.  The gradient stays
+    unbiased (test-gated by seed-averaging against the full sweep);
+    variance adds to the probe noise, which Adam absorbs the same way.
+    ``refine_iters=0`` drops the solve's residual sweep too (another
+    ~23% at 16k) — the loss's quadratic term then carries the raw
+    float32-factor solve error (~1e-5 relative), far below per-step
+    probe noise.
+
     The reference has no hyperparameter optimisation at all; this path
     exists so type-II ML runs at the same N the device classify path
     reaches, past the host-float64 ceiling of the exact tiled path
@@ -368,7 +383,7 @@ class ProbedNMLL:
     def __init__(self, x, y, *, jitter: float = 1e-6,
                  batch_size: int = 128, block: int = 1024,
                  probes: int = 16, mesh=None, refine_iters: int = 1,
-                 tiles_per_call: int = 256):
+                 tiles_per_call: int = 256, tile_fraction: float = 1.0):
         from .parallel.chol_dist import _ShardedFactor
         from .parallel.mesh import make_mesh
         from .parallel import device_large as dl
@@ -382,6 +397,10 @@ class ProbedNMLL:
         self.probes = probes
         self.refine_iters = refine_iters
         self.tiles_per_call = tiles_per_call
+        if not 0.0 < tile_fraction <= 1.0:
+            raise ValueError(f"tile_fraction must be in (0, 1], got "
+                             f"{tile_fraction}")
+        self.tile_fraction = tile_fraction
         self.mesh = mesh
         self.factor = _ShardedFactor(mesh, n, block, pad_to=b)
         self.m_pad = m_pad = -(-n // b) * b
@@ -394,12 +413,18 @@ class ProbedNMLL:
         self.lower_offs = dl._lower_offsets(n, b)
         self.upper_offs = dl._upper_offsets(n, b)
         nt = m_pad // b
-        self.grad_manifest = np.asarray(
-            [(i * b, j * b, 1 if i == j else 2)
-             for i in range(nt) for j in range(i, nt)], np.int32)
+        # split manifest: diagonal tiles are ALWAYS swept (weight 1);
+        # strictly-upper tiles (weight 2) are the subsampling pool
+        self.diag_tiles = np.asarray(
+            [(i * b, i * b) for i in range(nt)], np.int32)
+        self.off_tiles = np.asarray(
+            [(i * b, j * b) for i in range(nt)
+             for j in range(i + 1, nt)], np.int32).reshape(-1, 2)
         # measured-floor tolerance for the refinement residual, as in
         # classify_device_large
         self.tol = 3.0 * np.sqrt(n) * float(np.finfo(np.float32).eps)
+        # per-phase wall seconds of the last value_and_grad call
+        self.last_phases = {}
 
     def value_and_grad(self, model, seed: int = 0,
                        _probe_matrix: Optional[np.ndarray] = None):
@@ -410,8 +435,17 @@ class ProbedNMLL:
         from . import settings
         from .parallel import device_large as dl
 
+        import time as _time
+
         n, b, m_pad = self.n, self.b, self.m_pad
         snap = settings.snapshot()
+        phases = self.last_phases = {}
+        _t = [_time.perf_counter()]
+
+        def _tick(name):
+            now = _time.perf_counter()
+            phases[name] = round(now - _t[0], 2)
+            _t[0] = now
 
         # 1) diagonal -> jitter scale + Jacobi equilibration
         diag = np.asarray(dl._diag_scan_jit(
@@ -422,6 +456,7 @@ class ProbedNMLL:
         s_pad = np.ones(self.factor.n_pad, np.float32)
         s_pad[:n] = s64
         s_dev = jnp.asarray(s_pad[:m_pad])
+        _tick("diag")
 
         # 2) scaled Gram assembled straight into the factor buffer.
         # Free the PREVIOUS step's factor first: two [n_pad, n_pad]
@@ -431,8 +466,12 @@ class ProbedNMLL:
         k = dl._assemble_scaled(model, self.x_all, jnp.asarray(s_pad),
                                 self.lower_offs, b, n, self.factor.n_pad,
                                 self.mesh)
+        k.block_until_ready()
+        _tick("assemble")
         self.factor._factorize_dev(k)
         del k
+        jax.block_until_ready(self.factor.l_loc)
+        _tick("factor")
 
         # 3) targets and probes through ONE batched solve (+ bounded IR:
         # each residual is a tile-regeneration matvec sweep)
@@ -468,6 +507,7 @@ class ProbedNMLL:
                 a_s = a_s + self.factor.solve(
                     r.astype(np.float32)).astype(np.float64)
 
+        _tick("solve")
         a_raw = s64[:, None] * a_s                     # K'^{-1} [y | z]
         alpha, u = a_raw[:, :c_cls], a_raw[:, c_cls:]
 
@@ -484,23 +524,42 @@ class ProbedNMLL:
         a_dev = jnp.asarray(np.concatenate(
             [alpha, np.zeros((m_pad - n, c_cls))]).astype(np.float32))
         cp = jnp.float32(c_cls / (2.0 * p))
+        # tile manifest for this step: all diagonal tiles (weight 1) +
+        # either every strictly-upper tile (weight 2) or a uniform
+        # without-replacement subsample rescaled to keep the gradient
+        # unbiased (weight 2 * T/k for k of T survivors)
+        off, n_off = self.off_tiles, len(self.off_tiles)
+        w_off = 2.0
+        if self.tile_fraction < 1.0 and n_off > 1:
+            k_t = max(1, int(round(self.tile_fraction * n_off)))
+            sel = np.random.default_rng((seed, 1)).choice(n_off, size=k_t,
+                                                          replace=False)
+            off = off[sel]
+            w_off = 2.0 * n_off / k_t
+        offs = np.concatenate([self.diag_tiles, off])
+        ws = np.concatenate([np.ones(len(self.diag_tiles), np.float32),
+                             np.full(len(off), w_off, np.float32)])
         grad = jax.tree_util.tree_map(jnp.zeros_like, model)
         with settings.override(grad_safe=True):
             gsnap = settings.snapshot()
             with jax.default_matmul_precision("highest"):
-                for chunk in _weighted_chunks(self.grad_manifest,
-                                              self.tiles_per_call):
+                for oc, wc in _weighted_chunks(offs, ws,
+                                               self.tiles_per_call):
                     grad = _probed_grad_chunk_jit(
-                        grad, model, self.x_all, jnp.asarray(chunk),
-                        u_dev, z_dev, a_dev, cp, b, n, gsnap)
-        return loss, jax.tree_util.tree_map(np.asarray, grad)
+                        grad, model, self.x_all, jnp.asarray(oc),
+                        jnp.asarray(wc), u_dev, z_dev, a_dev, cp, b, n,
+                        gsnap)
+        out = jax.tree_util.tree_map(np.asarray, grad)
+        _tick("grad_vjp")
+        return loss, out
 
 
 def fit_large(model, x, y, steps: int = 30, learning_rate: float = 0.1,
               jitter: float = 1e-6, batch_size: int = 128,
               verbose: bool = False, grad: str = "exact",
               probes: int = 16, block: int = 1024, mesh=None,
-              seed: int = 0) -> Tuple[object, np.ndarray]:
+              seed: int = 0, tile_fraction: float = 1.0,
+              refine_iters: int = 1) -> Tuple[object, np.ndarray]:
     """Type-II ML at Gram-assembly scale: the `fit` loop driven by
     :func:`nmll_value_and_grad_tiled` instead of the whole-matrix jit.
     Positive leaves are optimised in log space exactly as in :func:`fit`
@@ -526,7 +585,9 @@ def fit_large(model, x, y, steps: int = 30, learning_rate: float = 0.1,
     plan = None
     if grad == "probed":
         plan = ProbedNMLL(x, y, jitter=jitter, batch_size=batch_size,
-                          block=block, probes=probes, mesh=mesh)
+                          block=block, probes=probes, mesh=mesh,
+                          tile_fraction=tile_fraction,
+                          refine_iters=refine_iters)
 
     opt = optax.adam(learning_rate)
     raw = _to_log_space(model)
@@ -550,6 +611,7 @@ def fit_large(model, x, y, steps: int = 30, learning_rate: float = 0.1,
         raw = optax.apply_updates(raw, updates)
         losses.append(float(loss))
         if verbose:
+            extra = f"  {plan.last_phases}" if plan is not None else ""
             print(f"[fit_large] step {it}: nmll {loss:.4f} "
-                  f"({time.perf_counter() - t0:.1f}s)", flush=True)
+                  f"({time.perf_counter() - t0:.1f}s){extra}", flush=True)
     return _from_log_space(best_raw), np.asarray(losses)

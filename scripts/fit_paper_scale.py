@@ -104,7 +104,9 @@ def main(_):
         paper_convnet(FLAGS.vw_init, FLAGS.vb_init, learnable=True),
         tr_x, y_fit, steps=FLAGS.steps, learning_rate=FLAGS.learning_rate,
         jitter=FLAGS.jitter, batch_size=b, verbose=True,
-        grad=FLAGS.grad, probes=FLAGS.probes, block=FLAGS.block)
+        grad=FLAGS.grad, probes=FLAGS.probes, block=FLAGS.block,
+        tile_fraction=FLAGS.tile_fraction,
+        refine_iters=FLAGS.refine_iters)
     print(f"fit_large: {FLAGS.steps} steps in {time.perf_counter() - t0:.1f}s"
           f"  nmll {losses[0]:.4f} -> {losses[-1]:.4f}", flush=True)
     vws = [float(m.var_weight) / (7 ** 2 if m.kernel_size == 7 else 1)
@@ -146,4 +148,11 @@ if __name__ == "__main__":
     f.DEFINE_boolean("timing_only", False, "skip the scipy f64 "
                      "evaluation legs (impossible past ~16k on this "
                      "host) — just run and time the fit steps")
+    f.DEFINE_float("tile_fraction", 1.0, "grad=probed: subsample this "
+                   "fraction of the strictly-upper tiles per step "
+                   "(unbiased, T/k-rescaled); the VJP sweep cost scales "
+                   "with it")
+    f.DEFINE_integer("refine_iters", 1, "grad=probed: residual sweeps "
+                     "for the solve (0 = raw factor solve, drops one "
+                     "matvec sweep per step)")
     absl.app.run(main)

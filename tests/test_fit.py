@@ -204,6 +204,38 @@ def test_probed_matches_tiled_under_basis_probes():
         assert abs(g - w) < 1e-4 * max(abs(w), 1e-3), (name, g, w)
 
 
+def test_tile_subsampled_grad_unbiased():
+    """tile_fraction < 1 subsamples the strictly-upper tiles with T/k
+    rescaling: the per-step gradient must stay UNBIASED.  Exact-basis
+    probes isolate the tile-sampling noise (no probe noise), so the
+    seed-average over fresh subsamples must converge to the full-sweep
+    gradient."""
+    from cnn_gp_tpu.fit import ProbedNMLL
+
+    model = _conv_model(2.0, 1.0, learnable=True)
+    tr_x, tr_y, _, _ = synthetic_arrays(n_train=37, n_test=0,
+                                        shape=(1, 14, 14), seed=5)
+    y = solve.one_hot_targets(tr_y, dtype=np.float32)
+    zb = np.sqrt(37.0) * np.eye(37)
+
+    full = ProbedNMLL(tr_x, y, batch_size=16, block=16)
+    _, g_full = full.value_and_grad(model, _probe_matrix=zb)
+
+    sub = ProbedNMLL(tr_x, y, batch_size=16, block=16, tile_fraction=0.5)
+    acc = {"var_weight": 0.0, "var_bias": 0.0}
+    seeds = 24
+    for s in range(seeds):
+        _, g = sub.value_and_grad(model, seed=s, _probe_matrix=zb)
+        for name in acc:
+            acc[name] += float(getattr(g.mods[0], name)) / seeds
+    for name in acc:
+        w = float(getattr(g_full.mods[0], name))
+        # 3 strictly-upper tiles, k=2 survivors/step, 24 seeds: the
+        # sample mean's relative SE is a few %, so 15% is a safe gate
+        assert abs(acc[name] - w) < 0.15 * max(abs(w), 1e-3), (
+            name, acc[name], w)
+
+
 def test_fit_large_probed_improves_nmll():
     """fit_large(grad='probed') — the path past the host-float64 ceiling
     — optimises the same objective with stochastic trace cotangents: the
