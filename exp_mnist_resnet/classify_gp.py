@@ -8,6 +8,8 @@ TPU-native float32-Cholesky + float64-refinement path alongside the
 reference's float64 scipy solve.
 """
 
+import time
+
 import absl.app
 import absl.flags
 import numpy as np
@@ -19,7 +21,19 @@ from cnn_gp_tpu.ops import solve
 FLAGS = absl.flags.FLAGS
 
 
+def _ticker():
+    t = [time.perf_counter()]
+
+    def tick(name):
+        now = time.perf_counter()
+        print(f"[classify_gp] {name}: {now - t[0]:.1f}s", flush=True)
+        t[0] = now
+
+    return tick
+
+
 def main(_):
+    tick = _ticker()
     if (FLAGS.variances or FLAGS.evidence) and FLAGS.solver not in (
             "scipy", "chol_dist"):
         raise SystemExit(
@@ -33,21 +47,25 @@ def main(_):
     print("Reading training labels")
     _, y = DatasetFromConfig.load_full(dataset.train)
     y_1hot = solve.one_hot_targets(y)
+    tick("labels")
+
+    # Refusal contract (SURVEY.md section 5, failure detection): a Gram
+    # with NaN holes (e.g. an unmerged worker shard) — which the reference
+    # would silently turn into garbage accuracy — is refused.  The check
+    # runs on the IN-MEMORY copy each array gets loaded into anyway: a
+    # store-level `assert_complete` scan of Kxx costs a second full
+    # read+decompress of the N^2 dataset (a measured multi-minute leg of
+    # the 50k wall).
+    def checked(name, arr):
+        if np.isnan(np.asarray(arr)).any():
+            raise RuntimeError(
+                f"{name} has NaN holes (incomplete or unmerged "
+                f"assembly?); rerun assembly — tile-level resume will "
+                f"skip finished tiles")
+        return arr
 
     with open_store(FLAGS.in_path, "r",
                     backend=FLAGS.store_backend) as f:
-        # Refuse to solve on a Gram with NaN holes (e.g. an unmerged worker
-        # shard): the reference would silently produce garbage accuracy
-        # here; see SURVEY.md section 5 (failure detection).
-        f.assert_complete("Kxx", upper_triangle_only=True)
-        f.assert_complete("Kxvx")
-        f.assert_complete("Kxtx")
-        if FLAGS.variances:
-            # the z-diagonals were written by worker rank 0 alongside the
-            # cross Grams (reference: save_kernel.py:33-36), so variance
-            # reporting needs nothing beyond the checkpointed artifact
-            f.assert_complete("Kv_diag")
-            f.assert_complete("Kt_diag")
         variances = evidence = None
         if FLAGS.solver == "chol_dist":
             # blocked-I/O large-N path: one float32 copy of the Gram (the
@@ -57,13 +75,38 @@ def main(_):
                 variances_from_cross_host)
             print("Solving Kxx^{-1} Y (mesh-distributed blocked Cholesky)")
             out = chol_solve_dist_from_store(
-                f, "Kxx", y_1hot, jitter=FLAGS.jitter,
+                f, "Kxx", y_1hot, jitter=FLAGS.jitter, check_finite=True,
                 return_factor=FLAGS.variances or FLAGS.evidence)
             a, rel, iters = out[:3]
             print(f"refined to rel residual {rel:.2e} in {iters} iterations")
             if rel > 1e-6:
                 print("warning: refinement stagnated -- consider a larger "
                       "--jitter")
+            tick("solve (incl. Kxx read)")
+        else:
+            print("Loading kernel")
+            kxx = checked("Kxx", solve.symmetrize_from_upper(
+                f.read("Kxx", dtype=np.float64)))
+            tick("Kxx read+symmetrize")
+            print("Solving Kxx^{-1} Y")
+
+        # cross Grams: read ONCE in the store's native float32 and reuse
+        # for variances AND scores (reading them twice — f32 for
+        # whitening, f64 for predict — paid the decompress cost twice)
+        _, yv = DatasetFromConfig.load_full(dataset.validation)
+        _, yt = DatasetFromConfig.load_full(dataset.test)
+        kxvx = checked("Kxvx", f.read("Kxvx"))
+        kxtx = checked("Kxtx", f.read("Kxtx"))
+        diags = None
+        if FLAGS.variances:
+            # the z-diagonals were written by worker rank 0 alongside the
+            # cross Grams (reference: save_kernel.py:33-36), so variance
+            # reporting needs nothing beyond the checkpointed artifact
+            diags = (checked("Kv_diag", f.read("Kv_diag")),
+                     checked("Kt_diag", f.read("Kt_diag")))
+        tick("cross-Gram read")
+
+        if FLAGS.solver == "chol_dist":
             if len(out) > 3:
                 factor, s = out[3], out[4]
                 if FLAGS.evidence or FLAGS.variances:
@@ -72,19 +115,14 @@ def main(_):
                     # float32-factor accuracy floor ~eps32 * k_zz (the
                     # float64 oracle is the scipy path below)
                     variances = [
-                        variances_from_cross_host(
-                            factor, s, f.read(kn), f.read(dn))
-                        for kn, dn in (("Kxvx", "Kv_diag"),
-                                       ("Kxtx", "Kt_diag"))]
+                        variances_from_cross_host(factor, s, kzx, dg)
+                        for kzx, dg in ((kxvx, diags[0]),
+                                        (kxtx, diags[1]))]
+                tick("variances+evidence")
         else:
-            print("Loading kernel")
-            kxx = solve.symmetrize_from_upper(
-                f.read("Kxx", dtype=np.float64))
-            print("Solving Kxx^{-1} Y")
             if FLAGS.variances or FLAGS.evidence:
                 # ONE factorisation serves solve + variances + evidence
-                splits = ([(f.read("Kxvx"), f.read("Kv_diag")),
-                           (f.read("Kxtx"), f.read("Kt_diag"))]
+                splits = ([(kxvx, diags[0]), (kxtx, diags[1])]
                           if FLAGS.variances else [])
                 stats = solve.solve_gp_stats(kxx, y_1hot,
                                              jitter=FLAGS.jitter,
@@ -96,28 +134,28 @@ def main(_):
                 a = solve.solve_gp(kxx, y_1hot, jitter=FLAGS.jitter,
                                    method=FLAGS.solver)
             del kxx
+            tick("solve")
 
-        if evidence is not None:
-            print(f"train log evidence: {evidence:.6g}")
+    if evidence is not None:
+        print(f"train log evidence: {evidence:.6g}")
 
-        _, yv = DatasetFromConfig.load_full(dataset.validation)
-        kxvx = f.read("Kxvx", dtype=np.float64)
-        acc = solve.accuracy(solve.predict(kxvx, a), yv)
-        print(f"validation accuracy: {acc * 100}%")
-        if variances is not None:
-            std = np.sqrt(variances[0])
-            print(f"validation predictive std: mean {std.mean():.4e}  "
-                  f"min {std.min():.4e}  max {std.max():.4e}")
-        del kxvx, yv
+    # float32 cross-Gram scores: exact — the store's data is float32, so
+    # upcasting inside predict reproduces the old read-as-float64 values
+    acc = solve.accuracy(solve.predict(kxvx, a), yv)
+    print(f"validation accuracy: {acc * 100}%")
+    if variances is not None:
+        std = np.sqrt(variances[0])
+        print(f"validation predictive std: mean {std.mean():.4e}  "
+              f"min {std.min():.4e}  max {std.max():.4e}")
+    del kxvx
 
-        _, yt = DatasetFromConfig.load_full(dataset.test)
-        kxtx = f.read("Kxtx", dtype=np.float64)
-        acc = solve.accuracy(solve.predict(kxtx, a), yt)
-        print(f"test accuracy: {acc * 100}%")
-        if variances is not None:
-            std = np.sqrt(variances[1])
-            print(f"test predictive std: mean {std.mean():.4e}  "
-                  f"min {std.min():.4e}  max {std.max():.4e}")
+    acc = solve.accuracy(solve.predict(kxtx, a), yt)
+    print(f"test accuracy: {acc * 100}%")
+    if variances is not None:
+        std = np.sqrt(variances[1])
+        print(f"test predictive std: mean {std.mean():.4e}  "
+              f"min {std.min():.4e}  max {std.max():.4e}")
+    tick("predict")
 
 
 if __name__ == "__main__":
