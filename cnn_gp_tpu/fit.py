@@ -62,7 +62,53 @@ import numpy as np
 from .kernels import apply_kernel
 
 __all__ = ["neg_marginal_log_likelihood", "fit",
-           "nmll_value_and_grad_tiled", "fit_large", "ProbedNMLL"]
+           "nmll_value_and_grad_tiled", "fit_large", "ProbedNMLL",
+           "save_leaves", "load_leaves"]
+
+
+def save_leaves(model, path: str) -> None:
+    """Persist a model's array leaves (e.g. fitted hyperparameters) as an
+    .npz keyed by pytree path, so a fit's outcome survives the process —
+    the reference hard-codes its hyperparameters in config files
+    (reference: configs/mnist_paper_convnet_gp.py:16-30) and has nothing
+    to persist.  The architecture itself is NOT saved (it is code — a
+    config); :func:`load_leaves` grafts the values onto a freshly built
+    model of the same architecture."""
+    leaves = jax.tree_util.tree_flatten_with_path(model)[0]
+    if not leaves:
+        raise ValueError("model has no array leaves to save (construct "
+                         "layers with learnable=True)")
+    np.savez(path, **{jax.tree_util.keystr(p): np.asarray(v)
+                      for p, v in leaves})
+
+
+def load_leaves(model, path: str):
+    """Return a copy of ``model`` with its array leaves replaced by the
+    values :func:`save_leaves` wrote.  The model must be built with the
+    SAME architecture and learnable flags; any missing/extra/mis-shaped
+    leaf is refused (a silent partial load would quietly serve a
+    different kernel)."""
+    with np.load(path) as data:
+        saved = {k: data[k] for k in data.files}
+    paths, treedef = jax.tree_util.tree_flatten_with_path(model)
+    new = []
+    for p, v in paths:
+        k = jax.tree_util.keystr(p)
+        if k not in saved:
+            raise ValueError(
+                f"{path} has no value for leaf {k}: the saved model's "
+                f"architecture/learnable flags differ from this one "
+                f"(saved leaves: {sorted(saved)})")
+        a = saved.pop(k)
+        if a.shape != np.shape(v):
+            raise ValueError(f"leaf {k}: saved shape {a.shape} != model "
+                             f"shape {np.shape(v)}")
+        new.append(jnp.asarray(a, jnp.asarray(v).dtype))
+    if saved:
+        raise ValueError(
+            f"{path} holds leaves this model does not have: "
+            f"{sorted(saved)} (architecture/learnable flags differ)")
+    return jax.tree_util.tree_unflatten(treedef, new)
 
 
 def neg_marginal_log_likelihood(model, x: jax.Array, y: jax.Array,

@@ -117,6 +117,12 @@ def main(_):
           f"{np.round(vws, 3).tolist()}", flush=True)
     print(f"fitted per-layer var_bias: {np.round(vbs, 3).tolist()}",
           flush=True)
+    if FLAGS.save_fitted:
+        from cnn_gp_tpu.fit import save_leaves
+        save_leaves(fitted, FLAGS.save_fitted)
+        print(f"fitted leaves saved to {FLAGS.save_fitted} (reload with "
+              f"cnn_gp_tpu.fit.load_leaves onto the same architecture)",
+              flush=True)
     report("fitted", fitted)
 
     if FLAGS.timing_only:
@@ -155,4 +161,7 @@ if __name__ == "__main__":
     f.DEFINE_integer("refine_iters", 1, "grad=probed: residual sweeps "
                      "for the solve (0 = raw factor solve, drops one "
                      "matvec sweep per step)")
+    f.DEFINE_string("save_fitted", "", "persist the fitted model's "
+                    "hyperparameter leaves to this .npz "
+                    "(cnn_gp_tpu.fit.save_leaves)")
     absl.app.run(main)

@@ -258,6 +258,29 @@ def test_fit_large_probed_improves_nmll():
     assert vw > 1.3, vw                     # moved decisively toward 3.0
 
 
+def test_save_load_leaves_roundtrip(tmp_path):
+    """Fitted hyperparameter leaves persist to .npz and graft back onto a
+    freshly built model of the same architecture, reproducing the kernel
+    exactly; architecture/learnable mismatches are refused, not silently
+    partially loaded."""
+    import pytest
+    from cnn_gp_tpu.fit import load_leaves, save_leaves
+
+    fitted = _conv_model(2.7, 1.3, learnable=True)
+    path = str(tmp_path / "leaves.npz")
+    save_leaves(fitted, path)
+
+    fresh = load_leaves(_conv_model(1.0, 1.0, learnable=True), path)
+    x = synthetic_arrays(n_train=12, n_test=0, shape=(1, 14, 14))[0]
+    np.testing.assert_array_equal(np.asarray(fitted(x)),
+                                  np.asarray(fresh(x)))
+
+    with pytest.raises(ValueError, match="architecture"):
+        load_leaves(_mixture_model(), path)       # different leaves
+    with pytest.raises(ValueError):
+        save_leaves(_conv_model(1.0, 1.0), path)  # no learnable leaves
+
+
 def test_fit_large_improves_nmll():
     """fit_large optimises the same objective through the scalable path:
     the loss decreases and the recovered hyperparameters move toward the
