@@ -409,16 +409,21 @@ class ProbedNMLL:
     throughout.
 
     ``tile_fraction < 1`` subsamples the strictly-upper tile manifest
-    per step (uniform without replacement, survivors rescaled by T/k, a
-    fresh draw per seed; diagonal tiles are always swept — they carry
-    the jitter-dominated diagonal mass) so the VJP sweep — measured 59%
-    of a warm 16k step — costs only that fraction.  The gradient stays
-    unbiased (test-gated by seed-averaging against the full sweep);
-    variance adds to the probe noise, which Adam absorbs the same way.
+    per step so the VJP sweep — measured 59% of a warm 16k step — costs
+    only that fraction.  The sample is IMPORTANCE-weighted: tiles are
+    drawn with replacement proportionally to a free upper bound on each
+    tile's cotangent Frobenius norm (products of block-row norms of U,
+    Z, A) and each draw weighted by 2/(k p) — unbiased, with variance
+    concentrated where the cotangent mass is.  This matters: uniform
+    subsampling is unbiased too but its variance measurably FLIPPED the
+    gradient direction at 50k on the hard task (the per-leaf gradient
+    is a small difference of large cancelling tile sums; BASELINE.md
+    "Type-II ML past the host ceiling").  Diagonal tiles are always
+    swept (they carry the jitter-dominated diagonal mass).
     ``refine_iters=0`` drops the solve's residual sweep too (another
     ~23% at 16k) — the loss's quadratic term then carries the raw
-    float32-factor solve error (~1e-5 relative), far below per-step
-    probe noise.
+    float32-factor solve error, far below per-step probe noise (at 50k
+    the refined and unrefined traces measured identical to 4 decimals).
 
     The reference has no hyperparameter optimisation at all; this path
     exists so type-II ML runs at the same N the device classify path
@@ -569,22 +574,43 @@ class ProbedNMLL:
             [z, np.zeros((m_pad - n, p))]).astype(np.float32))
         a_dev = jnp.asarray(np.concatenate(
             [alpha, np.zeros((m_pad - n, c_cls))]).astype(np.float32))
-        cp = jnp.float32(c_cls / (2.0 * p))
+        cp_f = c_cls / (2.0 * p)
+        cp = jnp.float32(cp_f)
         # tile manifest for this step: all diagonal tiles (weight 1) +
-        # either every strictly-upper tile (weight 2) or a uniform
-        # without-replacement subsample rescaled to keep the gradient
-        # unbiased (weight 2 * T/k for k of T survivors)
+        # either every strictly-upper tile (weight 2) or an
+        # IMPORTANCE-SAMPLED subset.  Uniform subsampling is NOT safe
+        # here: the per-leaf gradient is a small difference of large
+        # cancelling tile sums (trace term vs alpha term), and on the
+        # hard 50k task uniform f=0.25 sampling measurably flipped its
+        # sign (BASELINE.md).  Instead sample WITH replacement
+        # proportionally to a per-tile upper bound on the cotangent's
+        # Frobenius norm — computable for free from block-row norms of
+        # U, Z, A — and weight each draw by 2/(k p): unbiased, with the
+        # variance concentrated sampling actually prices.
         off, n_off = self.off_tiles, len(self.off_tiles)
-        w_off = 2.0
         if self.tile_fraction < 1.0 and n_off > 1:
+            def block_norms(m):           # [nt] Frobenius norm per row block
+                mp = np.concatenate([m, np.zeros((m_pad - n, m.shape[1]))])
+                return np.linalg.norm(
+                    mp.reshape(m_pad // b, b, -1), axis=(1, 2))
+
+            bu, bz, ba = block_norms(u), block_norms(z), block_norms(alpha)
+            ii = self.off_tiles[:, 0] // b
+            jj = self.off_tiles[:, 1] // b
+            bound = (cp_f * (bu[ii] * bz[jj] + bz[ii] * bu[jj])
+                     + ba[ii] * ba[jj])
+            prob = bound / bound.sum() if bound.sum() > 0 else (
+                np.full(n_off, 1.0 / n_off))
             k_t = max(1, int(round(self.tile_fraction * n_off)))
-            sel = np.random.default_rng((seed, 1)).choice(n_off, size=k_t,
-                                                          replace=False)
+            sel = np.random.default_rng((seed, 1)).choice(
+                n_off, size=k_t, replace=True, p=prob)
             off = off[sel]
-            w_off = 2.0 * n_off / k_t
+            w_off = (2.0 / (k_t * prob[sel])).astype(np.float32)
+        else:
+            w_off = np.full(len(off), 2.0, np.float32)
         offs = np.concatenate([self.diag_tiles, off])
         ws = np.concatenate([np.ones(len(self.diag_tiles), np.float32),
-                             np.full(len(off), w_off, np.float32)])
+                             w_off])
         grad = jax.tree_util.tree_map(jnp.zeros_like, model)
         with settings.override(grad_safe=True):
             gsnap = settings.snapshot()

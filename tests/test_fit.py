@@ -204,12 +204,18 @@ def test_probed_matches_tiled_under_basis_probes():
         assert abs(g - w) < 1e-4 * max(abs(w), 1e-3), (name, g, w)
 
 
-def test_tile_subsampled_grad_unbiased():
-    """tile_fraction < 1 subsamples the strictly-upper tiles with T/k
-    rescaling: the per-step gradient must stay UNBIASED.  Exact-basis
-    probes isolate the tile-sampling noise (no probe noise), so the
-    seed-average over fresh subsamples must converge to the full-sweep
-    gradient."""
+def test_tile_subsampled_grad_unbiased(monkeypatch):
+    """tile_fraction < 1 importance-samples the strictly-upper tiles
+    (with replacement, proportional to the cotangent-norm bound, each
+    draw weighted 2/(k p)): the estimator must be EXACTLY unbiased.
+    Checked deterministically, not statistically: force the selection
+    to each single tile in turn and verify that the probability-weighted
+    average of the forced estimates equals the full-sweep gradient —
+    the algebraic identity ``sum_t p_t (diag + 2 t_t / p_t) = full``
+    holds iff both the probabilities and the 2/(k p) weights are
+    applied correctly.  (A seed-averaging test is hopeless here: the
+    per-draw estimates legitimately span ~[-50, +60] around a full
+    value of ~4 at this tile count.)"""
     from cnn_gp_tpu.fit import ProbedNMLL
 
     model = _conv_model(2.0, 1.0, learnable=True)
@@ -222,18 +228,31 @@ def test_tile_subsampled_grad_unbiased():
     _, g_full = full.value_and_grad(model, _probe_matrix=zb)
 
     sub = ProbedNMLL(tr_x, y, batch_size=16, block=16, tile_fraction=0.5)
-    acc = {"var_weight": 0.0, "var_bias": 0.0}
-    seeds = 24
-    for s in range(seeds):
-        _, g = sub.value_and_grad(model, seed=s, _probe_matrix=zb)
-        for name in acc:
-            acc[name] += float(getattr(g.mods[0], name)) / seeds
-    for name in acc:
-        w = float(getattr(g_full.mods[0], name))
-        # 3 strictly-upper tiles, k=2 survivors/step, 24 seeds: the
-        # sample mean's relative SE is a few %, so 15% is a safe gate
-        assert abs(acc[name] - w) < 0.15 * max(abs(w), 1e-3), (
-            name, acc[name], w)
+    probs = {}
+
+    class ForcedRng:
+        def __init__(self, tile):
+            self.tile = tile
+
+        def choice(self, n, size, replace, p):
+            probs["p"] = np.asarray(p)
+            return np.full(size, self.tile, np.int64)
+
+    ests = {"var_weight": [], "var_bias": []}
+    for t in range(3):                     # nt=3 -> 3 strictly-upper tiles
+        monkeypatch.setattr(np.random, "default_rng",
+                            lambda *a, t=t, **k: ForcedRng(t))
+        _, g = sub.value_and_grad(model, _probe_matrix=zb)
+        for name in ests:
+            ests[name].append(float(getattr(g.mods[0], name)))
+    monkeypatch.undo()
+    p = probs["p"]
+    assert p.shape == (3,) and abs(p.sum() - 1.0) < 1e-12
+    for name in ests:
+        want = float(getattr(g_full.mods[0], name))
+        got = float((p * np.asarray(ests[name])).sum())
+        assert abs(got - want) < 1e-3 * max(abs(want), 1e-3), (
+            name, got, want, ests[name])
 
 
 def test_fit_large_probed_improves_nmll():
