@@ -53,6 +53,7 @@ Two NMLL paths with different scale ceilings:
 from __future__ import annotations
 
 import functools
+import time
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -486,15 +487,13 @@ class ProbedNMLL:
         from . import settings
         from .parallel import device_large as dl
 
-        import time as _time
-
         n, b, m_pad = self.n, self.b, self.m_pad
         snap = settings.snapshot()
         phases = self.last_phases = {}
-        _t = [_time.perf_counter()]
+        _t = [time.perf_counter()]
 
         def _tick(name):
-            now = _time.perf_counter()
+            now = time.perf_counter()
             phases[name] = round(now - _t[0], 2)
             _t[0] = now
 
@@ -666,7 +665,6 @@ def fit_large(model, x, y, steps: int = 30, learning_rate: float = 0.1,
     opt_state = opt.init(raw)
     losses = []
     best_raw, best_loss = raw, np.inf
-    import time
     for it in range(steps):
         t0 = time.perf_counter()
         primal, vjp_log = jax.vjp(_from_log_space, raw)
