@@ -456,7 +456,11 @@ class ProbedNMLL:
         self.mesh = mesh
         self.factor = _ShardedFactor(mesh, n, block, pad_to=b)
         self.m_pad = m_pad = -(-n // b) * b
-        assert m_pad <= self.factor.n_pad, (m_pad, self.factor.n_pad)
+        if m_pad > self.factor.n_pad:   # not assert: stripped under -O,
+            # and a violation would index assembly/VJP offsets past the
+            # factor buffer and corrupt results silently
+            raise ValueError(f"batch padding {m_pad} exceeds factor "
+                             f"n_pad {self.factor.n_pad}")
         # cyclic padding, not zeros: pad rows must be ordinary images for
         # the backward pass (see nmll_value_and_grad_tiled's pad note)
         self.x_all = jnp.asarray(x32[np.arange(m_pad) % n])

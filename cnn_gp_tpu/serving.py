@@ -41,7 +41,8 @@ from . import settings
 __all__ = ["save_posterior", "load_posterior", "GPPredictor", "Posterior"]
 
 FORMAT_VERSION = 1
-_FACTOR_CACHE_VERSION = 1
+_FACTOR_CACHE_VERSION = 2   # v2: meta gained model_sha256 (hyperparameter
+# leaves) — a v1 cache cannot prove which model's kernel it factored
 
 
 @dataclasses.dataclass
@@ -209,13 +210,22 @@ class GPPredictor:
 
     def _cache_meta(self, block: int, n_devices: int) -> dict:
         """Identity of a factor cache: the posterior content (scalings +
-        training-set digest), the factor geometry, and the lowering
-        snapshot — any mismatch means the cached factor decomposed a
-        DIFFERENT matrix."""
+        training-set digest), the model's array leaves (fitted
+        hyperparameters — scalings alone cannot distinguish models whose
+        change preserves diag K, e.g. a Mixture-logit reweighting of
+        equal-diagonal components), the factor geometry, and the
+        lowering snapshot — any mismatch means the cached factor
+        decomposed a DIFFERENT matrix."""
+        import jax
+
         p = self.posterior
         h = hashlib.sha256()
         h.update(np.ascontiguousarray(p.scalings).tobytes())
         h.update(np.ascontiguousarray(p.train_x).tobytes())
+        mh = hashlib.sha256()
+        for kp, v in jax.tree_util.tree_flatten_with_path(self.model)[0]:
+            mh.update(jax.tree_util.keystr(kp).encode())
+            mh.update(np.ascontiguousarray(v).tobytes())
         return {
             "version": _FACTOR_CACHE_VERSION,
             "n": p.n,
@@ -223,6 +233,7 @@ class GPPredictor:
             "batch_size": int(self.batch_size),
             "n_devices": int(n_devices),
             "posterior_sha256": h.hexdigest(),
+            "model_sha256": mh.hexdigest(),
             "settings_snapshot": repr(settings.snapshot()),
         }
 

@@ -507,7 +507,8 @@ def test_sampled_residual_accept_path(mesh, small_model):
               refine_iters=3, verbose=False)
     accs_s, info_s = classify_device_large(
         small_model, tr_x, tr_y, (te_x, te_y),
-        residual_check="sampled", residual_sample_rows=48, **kw)
+        residual_check="sampled", residual_sample_rows=48,
+        residual_sample_seed=0, **kw)
     accs_f, info_f = classify_device_large(
         small_model, tr_x, tr_y, (te_x, te_y),
         residual_check="full", **kw)
@@ -571,6 +572,9 @@ def test_residual_accept_frac_gates_the_sweep(mesh, small_model):
         n_train=160, n_test=16, shape=(1, 7, 7), seed=21)
     kw = dict(batch_size=16, block=16, mesh=mesh, refine_iters=0,
               residual_check="sampled", residual_sample_rows=48,
+              residual_sample_seed=0,   # pin: the probe and both gated
+              # runs must measure the SAME sampled blocks, else the UCB
+              # of a fresh draw can cross the 0.9/0.5 thresholds
               verbose=False)   # refine_iters=0: the gate is the ONLY
     # behavioural difference between the two runs below (an escalated
     # run that also refined could legitimately change predictions)

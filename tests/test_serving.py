@@ -228,6 +228,16 @@ def test_factor_cache_mismatch_refused(model, mesh, solved, tmp_path):
         GPPredictor(model, p2, batch_size=16).prepare_variances(
             mesh=mesh, block=32, factor_cache=cache)
 
+    # wrong MODEL hyperparameters with identical posterior/scalings: a
+    # differently-fitted kernel over the same train_x must not match the
+    # stale factor (ADVICE r4: save_leaves/load_leaves makes this routine)
+    model2 = G.Sequential(
+        G.Conv2d(3, var_weight=2.0, learnable=True), G.ReLU(),
+        G.Conv2d(3), G.ReLU(), G.Conv2d(8, padding=0))
+    with pytest.raises(ValueError, match="does not match"):
+        GPPredictor(model2, p, batch_size=16).prepare_variances(
+            mesh=mesh, block=32, factor_cache=cache)
+
     # absent cache dir: quiet rebuild + write_cache=False leaves nothing
     cache2 = str(tmp_path / "other")
     GPPredictor(model, p, batch_size=16).prepare_variances(
