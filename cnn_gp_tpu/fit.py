@@ -629,12 +629,15 @@ class ProbedNMLL:
         return loss, out
 
 
-def fit_large(model, x, y, steps: int = 30, learning_rate: float = 0.1,
+def fit_large(model, x, y, steps: int = 30, learning_rate: float = None,
               jitter: float = 1e-6, batch_size: int = 128,
               verbose: bool = False, grad: str = "exact",
               probes: int = 16, block: int = 1024, mesh=None,
               seed: int = 0, tile_fraction: float = 1.0,
-              refine_iters: int = 1) -> Tuple[object, np.ndarray]:
+              refine_iters: int = 1, backtrack: bool = True,
+              backtrack_factor: float = 0.5,
+              backtrack_tol: float = 1e-3,
+              min_learning_rate: float = 1e-3) -> Tuple[object, np.ndarray]:
     """Type-II ML at Gram-assembly scale: the `fit` loop driven by
     :func:`nmll_value_and_grad_tiled` instead of the whole-matrix jit.
     Positive leaves are optimised in log space exactly as in :func:`fit`
@@ -652,11 +655,27 @@ def fit_large(model, x, y, steps: int = 30, learning_rate: float = 0.1,
     it past the exact path's host-float64 ceiling (~16k on a 1-core
     host) or whenever the host O(N^3) per step dominates; the best-loss
     iterate logic still applies (the value term is solver-exact, only
-    the gradient is stochastic)."""
+    the gradient is stochastic).
+
+    **Overshoot guard** (on by default): because the loss value is
+    solver-exact even when the gradient is stochastic, a step that RAISES
+    the NMLL more than ``backtrack_tol * |best|`` above the best seen is
+    rejected — the iterate restarts from the best one, the Adam state is
+    reset, and the learning rate is multiplied by ``backtrack_factor``
+    (floored at ``min_learning_rate``).  This is the engineered fix for
+    the measured lr=0.1 one-step overshoot of the subsampled probed
+    gradient at 4k-50k (BASELINE.md "Fit small, deploy at 50k", round 4):
+    a rejected step costs one step of budget, never a worse model.
+    ``learning_rate=None`` resolves to 0.1 for exact gradients and 0.05
+    for probed ones (the stochastic path needs the guard to engage
+    before Adam's momentum compounds a bad first step).
+    """
     import optax
 
     if grad not in ("exact", "probed"):
         raise ValueError(f"grad must be 'exact' or 'probed', got {grad!r}")
+    if learning_rate is None:
+        learning_rate = 0.1 if grad == "exact" else 0.05
     plan = None
     if grad == "probed":
         plan = ProbedNMLL(x, y, jitter=jitter, batch_size=batch_size,
@@ -664,7 +683,8 @@ def fit_large(model, x, y, steps: int = 30, learning_rate: float = 0.1,
                           tile_fraction=tile_fraction,
                           refine_iters=refine_iters)
 
-    opt = optax.adam(learning_rate)
+    lr = float(learning_rate)
+    opt = optax.adam(lr)
     raw = _to_log_space(model)
     opt_state = opt.init(raw)
     losses = []
@@ -677,15 +697,30 @@ def fit_large(model, x, y, steps: int = 30, learning_rate: float = 0.1,
         else:
             loss, g_primal = nmll_value_and_grad_tiled(
                 primal, x, y, jitter=jitter, batch_size=batch_size)
+        losses.append(float(loss))
         if loss < best_loss:
             best_raw, best_loss = raw, loss
+        rejected = backtrack and (
+            not np.isfinite(loss)
+            or loss > best_loss + backtrack_tol * abs(best_loss))
+        if rejected:
+            # discard this iterate AND its gradient (measured at a bad
+            # point); restart from the best iterate at a smaller step
+            lr = max(lr * backtrack_factor, min_learning_rate)
+            opt = optax.adam(lr)
+            raw = best_raw
+            opt_state = opt.init(raw)
+            if verbose:
+                print(f"[fit_large] step {it}: nmll {loss:.4f} REJECTED "
+                      f"(best {best_loss:.4f}); lr -> {lr:.4g}",
+                      flush=True)
+            continue
         (g_raw,) = vjp_log(jax.tree_util.tree_map(
             lambda p, g: jnp.asarray(g, p.dtype), primal, g_primal))
         updates, opt_state = opt.update(g_raw, opt_state)
         raw = optax.apply_updates(raw, updates)
-        losses.append(float(loss))
         if verbose:
             extra = f"  {plan.last_phases}" if plan is not None else ""
-            print(f"[fit_large] step {it}: nmll {loss:.4f} "
+            print(f"[fit_large] step {it}: nmll {loss:.4f} lr {lr:.4g} "
                   f"({time.perf_counter() - t0:.1f}s){extra}", flush=True)
     return _from_log_space(best_raw), np.asarray(losses)

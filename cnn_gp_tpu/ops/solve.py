@@ -44,7 +44,8 @@ __all__ = ["one_hot_targets", "diag_add", "symmetrize_from_upper",
            "solve_gp_stats",
            "solve_gp", "predict", "accuracy", "classify",
            "refine_with_factor", "predictive_variance",
-           "log_marginal_likelihood"]
+           "log_marginal_likelihood", "gaussian_lpd",
+           "log_predictive_density"]
 
 
 def one_hot_targets(labels: np.ndarray, n_classes: Optional[int] = None,
@@ -216,6 +217,75 @@ def predictive_variance(kxx: np.ndarray, kzx: np.ndarray,
                                       lower=low, check_finite=False)
     return np.maximum(np.asarray(kzz_diag, np.float64) - (v * v).sum(0),
                       0.0)
+
+
+def gaussian_lpd(scores: np.ndarray, variances: np.ndarray,
+                 labels: np.ndarray, noise: float,
+                 n_classes: Optional[int] = None):
+    """Held-out **log predictive density** of ±1 one-hot targets under
+    the GP's Gaussian predictive: per test point,
+    ``sum_c log N(y_c | mu_c, var + noise)`` with the posterior variance
+    shared across classes (one kernel, C independent outputs) and the
+    observation noise equal to the jitter the solve added
+    (``info["jitter_raw"]`` — the model actually fit was
+    ``y = f + eps, eps ~ N(0, jitter_raw)``).
+
+    Returns ``(mean, se, per_point)``: mean LPD over test points, its
+    standard error, and the [n] per-point values.  This is the held-out
+    metric type-II ML optimises for — accuracy saturates at a task's
+    label-noise ceiling while LPD keeps separating models by calibration
+    (BASELINE.md "Held-out log predictive density").  The reference
+    framework reports only argmax accuracy (reference:
+    exp_mnist_resnet/classify_gp.py:39-42).
+
+    Pure transform of per-point moments — same code path for the f64
+    oracle and the device pipeline; the oracle gate is
+    :func:`log_predictive_density` vs ``classify_device_large`` in
+    tests/test_device_large.py.
+    """
+    scores = np.asarray(scores, np.float64)
+    var = np.asarray(variances, np.float64) + float(noise)
+    if np.any(var <= 0):
+        raise ValueError("non-positive predictive variance + noise")
+    y = one_hot_targets(np.asarray(labels), n_classes=n_classes
+                        if n_classes is not None else scores.shape[1])
+    if y.shape != scores.shape:
+        raise ValueError(f"labels imply {y.shape}, scores {scores.shape}")
+    c = scores.shape[1]
+    per_point = (-0.5 * np.sum((y - scores) ** 2, axis=1) / var
+                 - 0.5 * c * (np.log(2.0 * np.pi) + np.log(var)))
+    mean = float(per_point.mean())
+    se = float(per_point.std(ddof=1) / np.sqrt(len(per_point))) \
+        if len(per_point) > 1 else 0.0
+    return mean, se, per_point
+
+
+def log_predictive_density(kxx: np.ndarray, kzx: np.ndarray,
+                           kzz_diag: np.ndarray, train_labels: np.ndarray,
+                           test_labels: np.ndarray,
+                           jitter_rel: float = 0.0,
+                           n_classes: Optional[int] = None):
+    """Float64 host oracle for held-out LPD: one Cholesky of
+    ``K + jitter_rel * mean(diag K) * I`` gives means, variances, and
+    the density in one pass.  Relative-jitter convention shared with
+    ``classify_device_large`` so the two are directly comparable.
+    Returns ``(mean, se, per_point)`` as :func:`gaussian_lpd`."""
+    import scipy.linalg
+    kxx = np.array(kxx, np.float64)
+    jr = jitter_rel * float(np.mean(np.diagonal(kxx)))
+    if jr:
+        diag_add(kxx, jr)
+    y = one_hot_targets(np.asarray(train_labels), n_classes=n_classes)
+    c, low = scipy.linalg.cho_factor(kxx, lower=True, check_finite=False,
+                                     overwrite_a=True)
+    alpha = scipy.linalg.cho_solve((c, low), y, check_finite=False)
+    scores = np.asarray(kzx, np.float64) @ alpha
+    v = scipy.linalg.solve_triangular(c, np.asarray(kzx, np.float64).T,
+                                      lower=low, check_finite=False)
+    var = np.maximum(np.asarray(kzz_diag, np.float64) - (v * v).sum(0),
+                     0.0)
+    return gaussian_lpd(scores, var, test_labels, jr,
+                        n_classes=y.shape[1])
 
 
 def log_marginal_likelihood(kxx: np.ndarray, y: np.ndarray,

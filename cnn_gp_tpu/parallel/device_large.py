@@ -904,13 +904,14 @@ def classify_device_large(model, train_x, train_y, *splits,
 
     # 5. per-split scores via regeneration; only [n_split, C] is fetched
     # (already contracted during the variance pass when variances=True)
-    accs, preds = [], []
+    accs, preds, scores_list = [], [], []
     for idx, (xz, labels) in enumerate(splits):
         if split_scores is not None:
             scores = split_scores[idx]
         else:
             scores = scores_regen(model, xz, train_x,
                                   a_final.astype(np.float32), batch_size=b)
+        scores_list.append(np.asarray(scores))
         preds.append(np.argmax(scores, axis=1))
         accs.append(solve_ops.accuracy(preds[-1], np.asarray(labels)))
     tick("predict")
@@ -924,7 +925,7 @@ def classify_device_large(model, train_x, train_y, *splits,
             "residual_sampled_blocks": sampled_blocks,
             "refinements": iters,
             "n": n, "n_pad": n_pad, "block": block, "predictions": preds,
-            "variances": var_list,
+            "scores": scores_list, "variances": var_list,
             "log_evidence": log_evidence, "logdet": logdet,
             # the posterior itself (O(N) objects): everything `serving`
             # needs to answer new queries without re-solving

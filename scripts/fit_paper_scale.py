@@ -50,20 +50,25 @@ def paper_convnet(vw, vb, learnable=False):
                                  var_bias=vb, learnable=learnable))
 
 
-def hard_mnist(n_train, n_test):
+def hard_mnist(n_train, n_test, flip_frac=0.05):
     """The hard non-separable MNIST variant (blended prototypes, heavy
-    noise, 5% label flips) as float32 NCHW in [0, 1] — the same pixel
-    scaling the dataset loader applies to the on-disk files."""
-    tr_x, tr_y = _digits(n_train, 28, seed=1, hard=True)
-    te_x, te_y = _digits(n_test, 28, seed=2, proto_seed=1, hard=True)
+    noise, ``flip_frac`` label flips — 0 gives the zero-label-noise
+    variant whose ceiling can discriminate kernels) as float32 NCHW in
+    [0, 1] — the same pixel scaling the dataset loader applies to the
+    on-disk files."""
+    tr_x, tr_y = _digits(n_train, 28, seed=1, hard=True,
+                         flip_frac=flip_frac)
+    te_x, te_y = _digits(n_test, 28, seed=2, proto_seed=1, hard=True,
+                         flip_frac=flip_frac)
     as_f32 = lambda a: (a[:, None].astype(np.float32) / 255.0)
     return as_f32(tr_x), tr_y, as_f32(te_x), te_y
 
 
 def evaluate(model, tr_x, tr_y, te_x, te_y, batch_size, jitter_rel):
-    """Held-out accuracy + train log evidence through the float64 scipy
-    pipeline (exact at this N; reference:
-    exp_mnist_resnet/classify_gp.py:17-27)."""
+    """Held-out accuracy + train log evidence + held-out log predictive
+    density through the float64 scipy pipeline (exact at this N;
+    reference: exp_mnist_resnet/classify_gp.py:17-27 — the reference
+    reports accuracy only).  Returns (acc, lml, lpd_mean, lpd_se)."""
     from cnn_gp_tpu.parallel import gram_in_memory
 
     kxx = np.asarray(gram_in_memory(model, tr_x, batch_size=batch_size,
@@ -72,16 +77,20 @@ def evaluate(model, tr_x, tr_y, te_x, te_y, batch_size, jitter_rel):
     y = solve.one_hot_targets(tr_y)
     lml = solve.log_marginal_likelihood(kxx, y, jitter_rel=jitter_rel)
     a = solve.solve_gp(kxx, y, jitter=jr, method="scipy")
-    del kxx
     kzx = np.asarray(gram_in_memory(model, te_x, tr_x,
                                     batch_size=batch_size, progress=False),
                      np.float64)
     acc = solve.accuracy(solve.predict(kzx, a), te_y)
-    return acc, lml
+    kzz_d = np.asarray(model(te_x, diag=True), np.float64)
+    lpd, lpd_se, _ = solve.log_predictive_density(
+        kxx, kzx, kzz_d, tr_y, te_y, jitter_rel=jitter_rel)
+    del kxx
+    return acc, lml, lpd, lpd_se
 
 
 def main(_):
-    tr_x, tr_y, te_x, te_y = hard_mnist(FLAGS.n_train, FLAGS.n_test)
+    tr_x, tr_y, te_x, te_y = hard_mnist(FLAGS.n_train, FLAGS.n_test,
+                                        flip_frac=FLAGS.label_noise)
     y_fit = solve.one_hot_targets(tr_y, dtype=np.float32)
     b = FLAGS.batch_size
 
@@ -91,10 +100,12 @@ def main(_):
         if FLAGS.timing_only:
             return
         t0 = time.perf_counter()
-        acc, lml = evaluate(model, tr_x, tr_y, te_x, te_y, b, FLAGS.jitter)
-        rows.append((name, acc, lml))
+        acc, lml, lpd, lpd_se = evaluate(model, tr_x, tr_y, te_x, te_y, b,
+                                         FLAGS.jitter)
+        rows.append((name, acc, lml, lpd, lpd_se))
         print(f"{name:>7}: held-out acc {acc:.4f}  train log evidence "
-              f"{lml:.6g}  ({time.perf_counter() - t0:.1f}s)", flush=True)
+              f"{lml:.6g}  held-out LPD {lpd:.4f} +- {lpd_se:.4f}"
+              f"  ({time.perf_counter() - t0:.1f}s)", flush=True)
 
     report("init", paper_convnet(FLAGS.vw_init, FLAGS.vb_init))
     report("paper", paper_convnet(2.79, 7.86))
@@ -127,13 +138,18 @@ def main(_):
 
     if FLAGS.timing_only:
         return
-    init_acc, init_lml = rows[0][1:]
-    paper_acc, paper_lml = rows[1][1:]
-    fit_acc, fit_lml = rows[2][1:]
+    init_acc, init_lml, init_lpd, init_se = rows[0][1:]
+    paper_acc, paper_lml, paper_lpd, paper_se = rows[1][1:]
+    fit_acc, fit_lml, fit_lpd, fit_se = rows[2][1:]
     print(f"\nsummary: fitted vs paper: acc {fit_acc:.4f} vs {paper_acc:.4f}"
-          f", evidence {fit_lml:.6g} vs {paper_lml:.6g}; "
+          f", evidence {fit_lml:.6g} vs {paper_lml:.6g}, "
+          f"LPD {fit_lpd:.4f}+-{fit_se:.4f} vs {paper_lpd:.4f}"
+          f"+-{paper_se:.4f}; "
           f"fitted vs init: acc {fit_acc - init_acc:+.4f}, "
-          f"evidence {fit_lml - init_lml:+.6g}", flush=True)
+          f"evidence {fit_lml - init_lml:+.6g}, "
+          f"LPD {fit_lpd - init_lpd:+.4f} "
+          f"({(fit_lpd - init_lpd) / max(np.hypot(fit_se, init_se), 1e-12):+.1f} SE)",
+          flush=True)
 
 
 if __name__ == "__main__":
@@ -142,7 +158,12 @@ if __name__ == "__main__":
     f.DEFINE_integer("n_test", 2048, "held-out examples")
     f.DEFINE_integer("batch_size", 128, "Gram tile size")
     f.DEFINE_integer("steps", 30, "fit_large optimisation steps")
-    f.DEFINE_float("learning_rate", 0.1, "adam learning rate (log space)")
+    f.DEFINE_float("learning_rate", None, "adam learning rate (log "
+                   "space); default resolves per gradient mode (0.1 "
+                   "exact / 0.05 probed) with the overshoot guard on")
+    f.DEFINE_float("label_noise", 0.05, "fraction of flipped labels in "
+                   "the hard task (0 = the discriminative zero-noise "
+                   "variant)")
     f.DEFINE_float("jitter", 1e-6, "relative jitter (vs mean Gram diag)")
     f.DEFINE_float("vw_init", 1.0, "initial var_weight (config units)")
     f.DEFINE_float("vb_init", 1.0, "initial var_bias")

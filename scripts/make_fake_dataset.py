@@ -38,7 +38,8 @@ def _idx_labels(path, arr):
         f.write(arr.astype(np.uint8).tobytes())
 
 
-def _digits(n, side, seed, proto_seed=None, hard=False):
+def _digits(n, side, seed, proto_seed=None, hard=False,
+            flip_frac=0.05):
     """Digit-like images: class prototype blobs + noise, uint8.
 
     The prototypes must be SHARED between the train and test files
@@ -65,7 +66,12 @@ def _digits(n, side, seed, proto_seed=None, hard=False):
         x = x * (1 - blend) + protos[other] * blend * (
             0.6 + 0.4 * rng.rand(n, 1, 1))
         x += 45 * rng.randn(n, side, side)
-        flip = rng.rand(n) < 0.05                  # 5% label noise
+        # label noise: default 5%; flip_frac=0 gives the ZERO-label-noise
+        # variant whose accuracy ceiling is NOT capped by the flips, so
+        # held-out metrics can discriminate between kernels (VERDICT r4
+        # item 1).  The rng draws are identical for any flip_frac, so the
+        # default stream (and on-disk fake datasets) is byte-stable.
+        flip = rng.rand(n) < flip_frac
         y = np.where(flip, rng.randint(0, 10, n), y)
     else:
         x += 30 * rng.randn(n, side, side)

@@ -316,3 +316,59 @@ def test_fit_large_improves_nmll():
     assert losses[-1] < losses[0], losses
     vw = float(fitted.mods[0].var_weight)
     assert vw > 1.4, vw                     # moved decisively toward 3.0
+
+
+def _rejections(losses, tol=1e-3):
+    """Steps the overshoot guard rejected, reconstructed from the loss
+    trace exactly as fit_large decides them (loss > running best + tol)."""
+    best, r = np.inf, 0
+    for lo in losses:
+        if lo < best:
+            best = lo
+        if not np.isfinite(lo) or lo > best + tol * abs(best):
+            r += 1
+    return r
+
+
+def test_fit_large_backtracks_on_overshoot():
+    """The overshoot guard (VERDICT r4 item 2): at a deliberately huge
+    learning rate the run must reject the diverging steps, shrink lr, and
+    still end BELOW the initial NMLL — the measured round-4 failure
+    (lr=0.1 probed one-step overshoot, best-iterate = step 1) becomes a
+    recovered fit instead of a frozen init."""
+    from cnn_gp_tpu.fit import fit_large
+
+    tr_x, _, _, _ = synthetic_arrays(n_train=48, n_test=0,
+                                     shape=(1, 14, 14), seed=3)
+    y = draw_gp_targets(_conv_model(3.0, 1.5), tr_x, 8, 0)
+    model = _conv_model(1.0, 0.5, learnable=True)
+    fitted, losses = fit_large(model, tr_x, y, steps=14, learning_rate=2.0,
+                               batch_size=16)
+    assert _rejections(losses) >= 1, losses   # the guard actually fired
+    assert np.min(losses) < losses[0], losses  # and progress still made
+    # the returned model is the best iterate, never a rejected one
+    from cnn_gp_tpu.fit import neg_marginal_log_likelihood
+    final = float(neg_marginal_log_likelihood(fitted, tr_x, y,
+                                              jitter=1e-6))
+    assert final <= np.min(losses) + 1e-3 * abs(np.min(losses))
+
+    # guard off: the same lr is allowed to wander (no rejection logic);
+    # returned model still the argmin by the best-iterate rule
+    _, losses_off = fit_large(model, tr_x, y, steps=6, learning_rate=2.0,
+                              batch_size=16, backtrack=False)
+    assert len(losses_off) == 6
+
+
+def test_fit_large_default_lr_resolution():
+    """learning_rate=None resolves per gradient mode (0.1 exact / 0.05
+    probed) instead of one size fits all."""
+    from cnn_gp_tpu.fit import fit_large
+
+    tr_x, _, _, _ = synthetic_arrays(n_train=32, n_test=0,
+                                     shape=(1, 14, 14), seed=1)
+    y = draw_gp_targets(_conv_model(2.0, 1.0), tr_x, 4, 0)
+    model = _conv_model(1.0, 0.5, learnable=True)
+    for grad in ("exact", "probed"):
+        _, losses = fit_large(model, tr_x, y, steps=2, batch_size=16,
+                              grad=grad, probes=4)
+        assert len(losses) == 2 and np.isfinite(losses).all()
