@@ -13,7 +13,7 @@ asynchronously and `block_until_ready` may return before remote execution
 finishes, so we time the *marginal* cost -- (time of N2 dispatches + one
 fetch) - (time of N1 dispatches + one fetch) over (N2 - N1) tiles -- which
 cancels both compile and round-trip latency.  The headline is the MEDIAN
-of >=3 positive marginal samples: a tunnel stall inside the short (N1)
+of up to 5 (>=3) positive marginal samples: a tunnel stall inside the short (N1)
 window shrinks the difference and fakes above-steady-state throughput
 (observed: an 8.4M entries/s sample on code that reproducibly measures
 ~5.5M), so the min-of-samples rule used through round 2 was biased fast
@@ -61,6 +61,13 @@ REFERENCE_ENTRIES_PER_SEC = 1413.0
 BATCH = 128  # autotuned: pair dim 128*128 aligns with the lane width (BASELINE.md)
 N_WARM = 2
 N1, N2 = 8, 40
+N_SAMPLES = 5   # per workload when the tunnel is healthy (round-4 VERDICT
+# #7: 3 left the spread dominated by single tunnel artifacts)
+# a positive sample further than this factor from the workload median is a
+# tunnel artifact (mild stall in one window), not kernel drift: measured
+# kernel drift is +-6% across rounds, measured stall artifacts are 2-3x
+# (BENCH_r04.json convnet min 3.83M vs median 10.78M)
+STALL_RATIO = 1.35
 VPU_PEAK = 4.0e12  # nominal v5e f32 VPU ops/s (8x128 lanes x 4 ALUs x ~1GHz)
 REGRESSION_FLOOR = 5.0e6  # headline entries/s below this => regression flag
 
@@ -235,10 +242,11 @@ def main():
         samples, flops = [], None
         for attempt, budget in enumerate((300, 300, 420)):
             try:
-                got, fl = _collect_samples(name, budget, 3 - len(samples))
+                got, fl = _collect_samples(name, budget,
+                                           N_SAMPLES - len(samples))
                 samples.extend(got)
                 flops = flops or fl
-                if len(samples) >= 3:
+                if len(samples) >= N_SAMPLES:
                     break
             # a dropped remote-compile channel surfaces as an exception
             # here; a failing secondary workload must degrade to a
@@ -248,8 +256,19 @@ def main():
                       f" {e}", file=sys.stderr, flush=True)
         if samples:
             per_tile = float(np.median(samples))
+            # spread over INLIERS only: a positive sample >STALL_RATIO
+            # away from the median is a tunnel artifact (mild stall in
+            # one marginal window), counted separately so the min/max
+            # band reflects kernel drift, not outages (round-4 VERDICT
+            # #7; the median itself is already robust to them)
+            inliers = [s for s in samples
+                       if per_tile / STALL_RATIO <= s
+                       <= per_tile * STALL_RATIO]
+            if len(inliers) < 2:          # pathological: keep everything
+                inliers = samples
             results[name] = (BATCH * BATCH / per_tile, per_tile, flops,
-                             len(samples), samples)
+                             len(samples), inliers,
+                             len(samples) - len(inliers))
         if name == "resnet32" and name not in results:
             # same contract as the pre-run outage branch: the driver is
             # promised ONE JSON line, and a tunnel that probes healthy
@@ -271,7 +290,7 @@ def main():
     value = results["resnet32"][0]
     flops_per_sec = {}
     vpu_util = {}
-    for name, (_, per_tile, flops, _, _) in results.items():
+    for name, (_, per_tile, flops, _, _, _) in results.items():
         if flops:
             fps = flops / per_tile
             flops_per_sec[name] = round(fps / 1e12, 3)       # T ops/s
@@ -288,13 +307,16 @@ def main():
         # protocol promises >=3 -- fewer means the tunnel discarded
         # samples and the figure is a degraded median, flagged explicitly
         "n_samples": {name: r[3] for name, r in results.items()},
-        # sample spread in entries/s (min/median/max): drift inside the
-        # floor-to-ceiling band is visible, not hidden behind one median
+        # sample spread in entries/s (min/median/max) over INLIER samples
+        # (within STALL_RATIO of the median): kernel drift is visible,
+        # tunnel artifacts are counted in stall_discarded instead of
+        # polluting the band (round-4 VERDICT #7)
         "spread_entries_per_s": {
             name: {"min": round(BATCH * BATCH / max(r[4]), 1),
                    "median": round(r[0], 1),
                    "max": round(BATCH * BATCH / min(r[4]), 1)}
             for name, r in results.items()},
+        "stall_discarded": {name: r[5] for name, r in results.items()},
     }
     degraded = [name for name, r in results.items() if r[3] < 3]
     if degraded:

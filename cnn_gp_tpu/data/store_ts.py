@@ -291,6 +291,20 @@ class TensorStoreGramStore:
     def read(self, name: str, dtype=np.float32) -> np.ndarray:
         return np.asarray(self._get(name).read().result(), dtype)
 
+    def shape(self, name: str) -> tuple:
+        return tuple(self._get(name).shape)
+
+    def read_rows(self, name: str, r0: int, r1: int,
+                  out=None) -> np.ndarray:
+        """Row-block read [r0:r1) (float32) — same contract as
+        `GramStore.read_rows`, so the streamed classify path works
+        against either backend."""
+        arr = self._get(name)[r0:r1].read().result()
+        if out is None:
+            return np.asarray(arr, np.float32)
+        out[...] = arr
+        return out
+
     def dataset_names(self) -> Iterable[str]:
         if "://" in self.path:
             # object-store form: list through the kvstore (there is no

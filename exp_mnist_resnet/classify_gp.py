@@ -71,12 +71,21 @@ def main(_):
             # blocked-I/O large-N path: one float32 copy of the Gram (the
             # store's native dtype), never the 2x float64 materialisation
             from cnn_gp_tpu.parallel.chol_dist import (
-                chol_solve_dist_from_store, evidence_from_factor,
-                variances_from_cross_host)
+                chol_solve_dist_from_store, chol_solve_stream_from_store,
+                evidence_from_factor, variances_from_cross_host)
             print("Solving Kxx^{-1} Y (mesh-distributed blocked Cholesky)")
-            out = chol_solve_dist_from_store(
-                f, "Kxx", y_1hot, jitter=FLAGS.jitter, check_finite=True,
-                return_factor=FLAGS.variances or FLAGS.evidence)
+            if FLAGS.stream:
+                # overlap read+mirror with the device upload (identical
+                # outputs; ~2x on the Kxx->factor leg at 50k)
+                out = chol_solve_stream_from_store(
+                    f, "Kxx", y_1hot, jitter=FLAGS.jitter,
+                    check_finite=True, verbose=True,
+                    return_factor=FLAGS.variances or FLAGS.evidence)
+            else:
+                out = chol_solve_dist_from_store(
+                    f, "Kxx", y_1hot, jitter=FLAGS.jitter,
+                    check_finite=True,
+                    return_factor=FLAGS.variances or FLAGS.evidence)
             a, rel, iters = out[:3]
             print(f"refined to rel residual {rel:.2e} in {iters} iterations")
             if rel > 1e-6:
@@ -181,4 +190,8 @@ if __name__ == "__main__":
     f.DEFINE_boolean("evidence", False,
                      "also report the train GP log marginal likelihood "
                      "(implied by --variances)")
+    f.DEFINE_boolean("stream", True,
+                     "--solver=chol_dist only: stream the Kxx read/"
+                     "mirror/upload legs concurrently (identical "
+                     "outputs; the serial path is kept for A/B timing)")
     absl.app.run(main)

@@ -60,10 +60,13 @@ def main(_):
     if FLAGS.save_fitted:
         save_leaves(fitted, FLAGS.save_fitted)
 
+    wanted = [s.strip() for s in FLAGS.eval_models.split(",") if s.strip()]
     for name, model in (("init", paper_convnet(FLAGS.vw_init,
                                                 FLAGS.vb_init)),
                         ("paper", paper_convnet(2.79, 7.86)),
                         ("fitted", fitted)):
+        if name not in wanted:
+            continue
         t0 = time.perf_counter()
         accs, info = classify_device_large(
             model, tr_x, tr_y, (te_x, te_y),
@@ -100,4 +103,7 @@ if __name__ == "__main__":
     f.DEFINE_float("vw_init", 1.0, "initial var_weight (config units)")
     f.DEFINE_float("vb_init", 1.0, "initial var_bias")
     f.DEFINE_string("save_fitted", "", "persist fitted leaves (.npz)")
+    f.DEFINE_string("eval_models", "init,paper,fitted", "which deploy "
+                    "rows to run (comma list; baselines already measured "
+                    "elsewhere can be skipped)")
     absl.app.run(main)

@@ -202,3 +202,73 @@ def test_solve_from_store(mesh, tmp_path):
     assert rel < 1e-10, rel
     np.testing.assert_allclose(got, want, rtol=1e-6,
                                atol=1e-8 * np.abs(want).max())
+
+
+def test_solve_stream_from_store(mesh, tmp_path):
+    """The streamed classify path (read+mirror producer thread overlapped
+    with the upload, device-side scaling + NaN refusal) returns the same
+    solution as the serial from_store path and the scipy oracle —
+    including with return_factor, whose live factor must serve variances
+    exactly like the serial one.  Odd sizes: n=70 with io_rows=32 and
+    block=16 exercise the partial tail chunk on both threads."""
+    from cnn_gp_tpu.data import GramStore
+    from cnn_gp_tpu.parallel import (chol_solve_dist_from_store,
+                                     chol_solve_stream_from_store)
+    from cnn_gp_tpu.parallel.chol_dist import variances_from_cross_host
+
+    model = G.Sequential(G.Conv2d(3), G.ReLU(), G.Conv2d(7, padding=0))
+    x, yl, zx, _ = synthetic_arrays(n_train=70, n_test=12, shape=(1, 7, 7))
+    k = np.asarray(gram_in_memory(model, x, batch_size=16, progress=False))
+    kzx = np.asarray(gram_in_memory(model, zx, x, batch_size=16,
+                                    progress=False))
+    kzz_d = np.asarray(model(zx, diag=True), np.float64)
+    path = str(tmp_path / "k.h5")
+    with GramStore(path, "w") as store:
+        store.create("Kxx", 70, 70, 16)
+        for i in range(0, 70, 16):
+            for j in range(i, 70, 16):
+                store.write_tile("Kxx", i, j, k[i:i+16, j:j+16])
+        y = solve.one_hot_targets(yl)
+        a_s, rel_s, _, factor_s, s_s = chol_solve_stream_from_store(
+            store, "Kxx", y, jitter=1e-6, mesh=mesh, block=16,
+            io_rows=32, return_factor=True)
+        a_d, rel_d, _, factor_d, s_d = chol_solve_dist_from_store(
+            store, "Kxx", y, jitter=1e-6, mesh=mesh, block=16,
+            return_factor=True)
+        kxx64 = solve.symmetrize_from_upper(store.read("Kxx",
+                                                       dtype=np.float64))
+    want = solve.solve_gp(kxx64, y, jitter=1e-6, method="scipy")
+    assert rel_s < 1e-10, rel_s
+    np.testing.assert_allclose(a_s, want, rtol=1e-6,
+                               atol=1e-8 * np.abs(want).max())
+    np.testing.assert_allclose(a_s, a_d, rtol=1e-7,
+                               atol=1e-9 * np.abs(a_d).max())
+    np.testing.assert_array_equal(s_s, s_d)   # same f64 diagonal -> same s
+    v_s = variances_from_cross_host(factor_s, s_s, kzx, kzz_d)
+    v_d = variances_from_cross_host(factor_d, s_d, kzx, kzz_d)
+    scale = float(kzz_d.mean())
+    np.testing.assert_allclose(v_s, v_d, rtol=2e-4, atol=1e-5 * scale)
+
+
+def test_solve_stream_refuses_holes(mesh, tmp_path):
+    """A NaN-holed Gram is refused by the streamed path's device-side
+    scan — the same refusal contract as the serial path's host isnan."""
+    from cnn_gp_tpu.data import GramStore
+    from cnn_gp_tpu.parallel import chol_solve_stream_from_store
+
+    path = str(tmp_path / "holed.h5")
+    n = 48
+    rng = np.random.default_rng(0)
+    k = rng.standard_normal((n, n)).astype(np.float32)
+    k = k @ k.T + n * np.eye(n, dtype=np.float32)
+    with GramStore(path, "w") as store:
+        store.create("Kxx", n, n, 16)
+        for i in range(0, n, 16):
+            for j in range(i, n, 16):
+                if (i, j) == (16, 32):
+                    continue                       # the hole
+                store.write_tile("Kxx", i, j, k[i:i+16, j:j+16])
+        y = solve.one_hot_targets(np.arange(n) % 4)
+        with pytest.raises(RuntimeError, match="NaN holes"):
+            chol_solve_stream_from_store(store, "Kxx", y, jitter=1e-3,
+                                         mesh=mesh, block=16, io_rows=32)
