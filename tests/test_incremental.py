@@ -289,3 +289,37 @@ def test_incremental_bench_script():
     assert d["n"] == 64 and d["m"] == 16
     assert d["pred_agreement"] == 1.0
     assert d["add_s"] > 0 and d["refit_s"] > 0
+
+
+def test_multibatch_growth_to_exact_capacity(model):
+    """Grow in several add() batches to EXACTLY the reserved capacity
+    (the paper-scale 48k->50k protocol in miniature, VERDICT r4 item 5):
+    every intermediate posterior matches the from-scratch oracle, the
+    final n equals capacity (no headroom left), and one more add is
+    refused.  Runs in the regen (retain_gram=False) mode the 50k
+    protocol uses — nothing O(N^2) host-resident."""
+    cap = 96
+    sizes = [(48, 0), (32, 1), (8, 2), (8, 3)]
+    xs, ys = zip(*[_data(n, seed) for n, seed in sizes])
+    zx, _ = _data(12, 7)
+    gp = IncrementalGP(model, capacity=cap, batch_size=16, block=16,
+                       jitter=1e-6, retain_gram=False)
+    for step in range(len(sizes)):
+        info = gp.add(xs[step], ys[step])
+        x_all = np.concatenate(xs[: step + 1])
+        y_all = np.concatenate(ys[: step + 1])
+        assert info["n"] == len(x_all)
+        kxx = np.asarray(gram_in_memory(model, x_all, batch_size=16),
+                         np.float64)
+        solve_ops.diag_add(kxx, gp._jitter_raw)
+        t = solve_ops.one_hot_targets(y_all)
+        a_ref = solve_ops.solve_gp(kxx.copy(), t, method="scipy")
+        kzx = np.asarray(gram_in_memory(model, zx, x_all, batch_size=16),
+                         np.float64)
+        np.testing.assert_array_equal(gp.classify(zx),
+                                      np.argmax(kzx @ a_ref, axis=1))
+        ev_ref = solve_ops.log_marginal_likelihood(kxx, t)
+        assert abs(info["log_evidence"] - ev_ref) < 1e-3 * abs(ev_ref)
+    assert gp.n == cap                       # grown to the last row
+    with pytest.raises(ValueError, match="capacity"):
+        gp.add(*_data(1, 9))
