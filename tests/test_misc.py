@@ -199,9 +199,12 @@ def test_bench_samples_accumulate_across_attempts(monkeypatch, capsys):
     bench.main()
     rec = _bench_json(capsys)
     assert round(rec["value"]) == 6.0e6
+    # N_SAMPLES=5 target, 3-attempt cap, one sample per attempt: the
+    # attempt budget bounds the damage of a chronically-stalling tunnel
     assert rec["n_samples"]["resnet32"] == 3
-    # 3 attempts per workload, each asking only for what was still missing
-    assert [n for w, n in calls if w == "resnet32"] == [3, 2, 1]
+    # each attempt asks only for what was still missing (never rebuys)
+    expected = [bench.N_SAMPLES - k for k in range(3)]
+    assert [n for w, n in calls if w == "resnet32"] == expected
 
 
 def test_default_cache_dir_gating(monkeypatch):
