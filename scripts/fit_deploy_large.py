@@ -29,7 +29,7 @@ import absl.app
 import absl.flags
 import numpy as np
 
-from cnn_gp_tpu.fit import fit_large, save_leaves
+from cnn_gp_tpu.fit import fit_large, load_leaves, save_leaves
 from cnn_gp_tpu.ops import solve
 from cnn_gp_tpu.parallel import classify_device_large
 from scripts.fit_paper_scale import hard_mnist, paper_convnet
@@ -46,19 +46,28 @@ def main(_):
                                         flip_frac=FLAGS.label_noise)
     y_fit = solve.one_hot_targets(fit_y, dtype=np.float32)
 
-    t0 = time.perf_counter()
-    fitted, losses = fit_large(
-        paper_convnet(FLAGS.vw_init, FLAGS.vb_init, learnable=True),
-        fit_x, y_fit, steps=FLAGS.steps, learning_rate=FLAGS.learning_rate,
-        batch_size=FLAGS.batch_size, verbose=True, grad="probed",
-        probes=FLAGS.probes, tile_fraction=FLAGS.tile_fraction,
-        refine_iters=0, block=FLAGS.fit_block)
-    print(f"fit at n={FLAGS.n_fit}: {FLAGS.steps} steps in "
-          f"{time.perf_counter() - t0:.1f}s  nmll {losses[0]:.6g} -> "
-          f"best {np.min(losses):.6g} (trajectory: "
-          f"{np.round(losses, 1).tolist()})", flush=True)
-    if FLAGS.save_fitted:
-        save_leaves(fitted, FLAGS.save_fitted)
+    if FLAGS.load_fitted:
+        # eval-only re-entry: graft previously fitted leaves (e.g. after a
+        # tunnel outage interrupted the deploy leg of a finished fit)
+        fitted = load_leaves(
+            paper_convnet(FLAGS.vw_init, FLAGS.vb_init, learnable=True),
+            FLAGS.load_fitted)
+        print(f"loaded fitted leaves from {FLAGS.load_fitted}", flush=True)
+    else:
+        t0 = time.perf_counter()
+        fitted, losses = fit_large(
+            paper_convnet(FLAGS.vw_init, FLAGS.vb_init, learnable=True),
+            fit_x, y_fit, steps=FLAGS.steps,
+            learning_rate=FLAGS.learning_rate,
+            batch_size=FLAGS.batch_size, verbose=True, grad="probed",
+            probes=FLAGS.probes, tile_fraction=FLAGS.tile_fraction,
+            refine_iters=0, block=FLAGS.fit_block)
+        print(f"fit at n={FLAGS.n_fit}: {FLAGS.steps} steps in "
+              f"{time.perf_counter() - t0:.1f}s  nmll {losses[0]:.6g} -> "
+              f"best {np.min(losses):.6g} (trajectory: "
+              f"{np.round(losses, 1).tolist()})", flush=True)
+        if FLAGS.save_fitted:
+            save_leaves(fitted, FLAGS.save_fitted)
 
     wanted = [s.strip() for s in FLAGS.eval_models.split(",") if s.strip()]
     for name, model in (("init", paper_convnet(FLAGS.vw_init,
@@ -103,6 +112,8 @@ if __name__ == "__main__":
     f.DEFINE_float("vw_init", 1.0, "initial var_weight (config units)")
     f.DEFINE_float("vb_init", 1.0, "initial var_bias")
     f.DEFINE_string("save_fitted", "", "persist fitted leaves (.npz)")
+    f.DEFINE_string("load_fitted", "", "skip fitting; load leaves from "
+                    "this .npz (eval-only re-entry)")
     f.DEFINE_string("eval_models", "init,paper,fitted", "which deploy "
                     "rows to run (comma list; baselines already measured "
                     "elsewhere can be skipped)")
