@@ -458,10 +458,26 @@ class _ShardedFactor:
                 nr = y.T                   # [m, n_pad] new factor rows
                 nr = lax.dynamic_update_slice(nr, jnp.tril(l22), (0, n0))
                 me = lax.axis_index(axis)
-                grow = me * rows_local + jnp.arange(rows_local)
-                pick = (grow >= n0) & (grow < n0 + m)
-                src = jnp.clip(grow - n0, 0, m - 1)
-                return jnp.where(pick[:, None], nr[src], l_loc)
+                base = me * rows_local
+                npad = l_loc.shape[1]
+
+                # write the m new rows one dynamic_update_slice each: a
+                # vectorised nr[clip(grow - n0)] gather materialises a
+                # FULL [rows_local, n_pad] intermediate next to the
+                # donated buffer — at 50k capacity on one device that is
+                # a second ~10 GB allocation and a measured HBM OOM
+                # (18.9/15.75 GB); the row loop keeps the peak at
+                # l_loc + [m, n_pad]
+                def body(k, l_loc):
+                    loc = n0 + k - base        # local row index, if owned
+                    owned = (loc >= 0) & (loc < rows_local)
+                    idx = jnp.clip(loc, 0, rows_local - 1)
+                    cur = lax.dynamic_slice(l_loc, (idx, 0), (1, npad))
+                    new = lax.dynamic_slice(nr, (k, 0), (1, npad))
+                    return lax.dynamic_update_slice(
+                        l_loc, jnp.where(owned, new, cur), (idx, 0))
+
+                return lax.fori_loop(0, m, body, l_loc)
 
             upd_j = jax.jit(jax.shard_map(
                 upd, mesh=self.mesh,
