@@ -872,6 +872,36 @@ def chol_solve_dist_from_store(store, name: str, y: np.ndarray,
                            **kw)
 
 
+_TRIL_IDX_CACHE = {}
+
+
+def _mirror_rows_tiled(k32, r0: int, r1: int, ts: int = 1024) -> None:
+    """Fill the lower-triangle columns of rows [r0:r1) from the upper
+    triangle already resident in ``k32`` (rows [0:r1) read so far), in
+    [ts, ts] transposed tiles.  One big strided ``.T`` assignment plus a
+    ``triu_indices`` fancy-indexed in-block mirror measured 22.5 s at
+    16k (~half the producer wall, ~210 s extrapolated at 50k); tiled
+    transposes are ~13x faster on the diag block and keep both source
+    and destination runs cache-resident."""
+    # cross-block: [r0:r1, :r0] from [:r0, r0:r1].T
+    for j0 in range(0, r0, ts):
+        j1 = min(j0 + ts, r0)
+        k32[r0:r1, j0:j1] = k32[j0:j1, r0:r1].T
+    # in-block: strictly-lower tiles from their upper mirrors
+    for i0 in range(r0, r1, ts):
+        i1 = min(i0 + ts, r1)
+        for j0 in range(r0, i0, ts):
+            j1 = min(j0 + ts, r1)
+            k32[i0:i1, j0:j1] = k32[j0:j1, i0:i1].T
+        d = k32[i0:i1, i0:i1]              # diagonal tile
+        m = i1 - i0
+        il = _TRIL_IDX_CACHE.get(m)
+        if il is None:
+            il = np.tril_indices(m, -1)
+            _TRIL_IDX_CACHE[m] = il
+        d[il] = d.T[il]
+
+
 def chol_solve_stream_from_store(store, name: str, y: np.ndarray,
                                  jitter: float = 0.0,
                                  mesh: Optional[Mesh] = None,
@@ -920,20 +950,10 @@ def chol_solve_stream_from_store(store, name: str, y: np.ndarray,
 
     def producer():
         try:
-            iu_cache = {}
             for r0 in range(0, n, io_rows):
                 r1 = min(r0 + io_rows, n)
                 store.read_rows(name, r0, r1, out=k32[r0:r1])
-                # rows [0:r0) are complete: their columns [r0:r1) hold
-                # this block's lower-left, transposed
-                k32[r0:r1, :r0] = k32[:r0, r0:r1].T
-                # in-block strictly-lower from in-block upper
-                m = r1 - r0
-                if m not in iu_cache:
-                    iu_cache[m] = np.triu_indices(m, 1)
-                iu = iu_cache[m]
-                blk = k32[r0:r1, r0:r1]
-                blk[iu[1], iu[0]] = blk[iu]
+                _mirror_rows_tiled(k32, r0, r1)
                 with cond:
                     done_rows[0] = r1
                     cond.notify_all()
