@@ -34,7 +34,8 @@ def _ticker():
 
 def main(_):
     tick = _ticker()
-    if (FLAGS.variances or FLAGS.evidence) and FLAGS.solver not in (
+    want_var = FLAGS.variances or FLAGS.lpd
+    if (want_var or FLAGS.evidence) and FLAGS.solver not in (
             "scipy", "chol_dist"):
         raise SystemExit(
             "--variances/--evidence need a factor to whiten against: use "
@@ -80,12 +81,12 @@ def main(_):
                 out = chol_solve_stream_from_store(
                     f, "Kxx", y_1hot, jitter=FLAGS.jitter,
                     check_finite=True, verbose=True,
-                    return_factor=FLAGS.variances or FLAGS.evidence)
+                    return_factor=want_var or FLAGS.evidence)
             else:
                 out = chol_solve_dist_from_store(
                     f, "Kxx", y_1hot, jitter=FLAGS.jitter,
                     check_finite=True,
-                    return_factor=FLAGS.variances or FLAGS.evidence)
+                    return_factor=want_var or FLAGS.evidence)
             a, rel, iters = out[:3]
             print(f"refined to rel residual {rel:.2e} in {iters} iterations")
             if rel > 1e-6:
@@ -107,7 +108,7 @@ def main(_):
         kxvx = checked("Kxvx", f.read("Kxvx"))
         kxtx = checked("Kxtx", f.read("Kxtx"))
         diags = None
-        if FLAGS.variances:
+        if want_var:
             # the z-diagonals were written by worker rank 0 alongside the
             # cross Grams (reference: save_kernel.py:33-36), so variance
             # reporting needs nothing beyond the checkpointed artifact
@@ -118,9 +119,9 @@ def main(_):
         if FLAGS.solver == "chol_dist":
             if len(out) > 3:
                 factor, s = out[3], out[4]
-                if FLAGS.evidence or FLAGS.variances:
+                if FLAGS.evidence or want_var:
                     evidence = evidence_from_factor(factor, s, y_1hot, a)
-                if FLAGS.variances:
+                if want_var:
                     # float32-factor accuracy floor ~eps32 * k_zz (the
                     # float64 oracle is the scipy path below)
                     variances = [
@@ -129,16 +130,16 @@ def main(_):
                                         (kxtx, diags[1]))]
                 tick("variances+evidence")
         else:
-            if FLAGS.variances or FLAGS.evidence:
+            if want_var or FLAGS.evidence:
                 # ONE factorisation serves solve + variances + evidence
                 splits = ([(kxvx, diags[0]), (kxtx, diags[1])]
-                          if FLAGS.variances else [])
+                          if want_var else [])
                 stats = solve.solve_gp_stats(kxx, y_1hot,
                                              jitter=FLAGS.jitter,
                                              splits=splits)
                 a = stats["alpha"]
                 evidence = stats["log_evidence"]
-                variances = stats["variances"] if FLAGS.variances else None
+                variances = stats["variances"] if want_var else None
             else:
                 a = solve.solve_gp(kxx, y_1hot, jitter=FLAGS.jitter,
                                    method=FLAGS.solver)
@@ -150,20 +151,35 @@ def main(_):
 
     # float32 cross-Gram scores: exact — the store's data is float32, so
     # upcasting inside predict reproduces the old read-as-float64 values
-    acc = solve.accuracy(solve.predict(kxvx, a), yv)
+    scores = np.asarray(kxvx, a.dtype) @ a
+    acc = solve.accuracy(np.argmax(scores, axis=1), yv)
     print(f"validation accuracy: {acc * 100}%")
-    if variances is not None:
+    if FLAGS.variances:
         std = np.sqrt(variances[0])
         print(f"validation predictive std: mean {std.mean():.4e}  "
               f"min {std.min():.4e}  max {std.max():.4e}")
+    if FLAGS.lpd:
+        # held-out log predictive density: the calibration metric the
+        # device pipeline reports (classify_device_large) and type-II ML
+        # optimises for — accuracy saturates at a task's label-noise
+        # ceiling while LPD keeps separating models (BASELINE.md).  The
+        # observation noise is the --jitter the solve added.
+        lpd, se, _ = solve.gaussian_lpd(scores, variances[0], yv,
+                                        noise=FLAGS.jitter)
+        print(f"validation lpd: {lpd:.4f} +- {se:.4f} nats/point")
     del kxvx
 
-    acc = solve.accuracy(solve.predict(kxtx, a), yt)
+    scores = np.asarray(kxtx, a.dtype) @ a
+    acc = solve.accuracy(np.argmax(scores, axis=1), yt)
     print(f"test accuracy: {acc * 100}%")
-    if variances is not None:
+    if FLAGS.variances:
         std = np.sqrt(variances[1])
         print(f"test predictive std: mean {std.mean():.4e}  "
               f"min {std.min():.4e}  max {std.max():.4e}")
+    if FLAGS.lpd:
+        lpd, se, _ = solve.gaussian_lpd(scores, variances[1], yt,
+                                        noise=FLAGS.jitter)
+        print(f"test lpd: {lpd:.4f} +- {se:.4f} nats/point")
     tick("predict")
 
 
@@ -190,6 +206,11 @@ if __name__ == "__main__":
     f.DEFINE_boolean("evidence", False,
                      "also report the train GP log marginal likelihood "
                      "(implied by --variances)")
+    f.DEFINE_boolean("lpd", False,
+                     "also report held-out log predictive density "
+                     "(mean +- SE nats/point) per split — needs the "
+                     "posterior variances, so the --variances solver "
+                     "rules apply; the noise is --jitter")
     f.DEFINE_boolean("stream", True,
                      "--solver=chol_dist only: stream the Kxx read/"
                      "mirror/upload legs concurrently (identical "

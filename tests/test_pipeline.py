@@ -169,23 +169,53 @@ def test_classify_gp_variances_and_evidence(tmp_path):
     def classify(solver):
         r = run(["exp_mnist_resnet.classify_gp", "--config=synthetic",
                  f"--datasets_path={tmp_path}", f"--in_path={out}",
-                 "--jitter=1e-6", f"--solver={solver}", "--variances"])
+                 "--jitter=1e-6", f"--solver={solver}", "--variances",
+                 "--lpd"])
         assert r.returncode == 0, r.stderr[-2000:]
         stds = {m.group(1): float(m.group(2)) for m in re.finditer(
             r"(validation|test) predictive std: mean ([\d.e+-]+)",
             r.stdout)}
         ev = float(re.search(r"train log evidence: ([-\d.e+]+)",
                              r.stdout).group(1))
+        lpds = {m.group(1): float(m.group(2)) for m in re.finditer(
+            r"(validation|test) lpd: ([-\d.]+) \+-", r.stdout)}
         assert set(stds) == {"validation", "test"}, r.stdout
+        assert set(lpds) == {"validation", "test"}, r.stdout
         assert all(v > 0 for v in stds.values()), stds
-        return stds, ev
+        return stds, ev, lpds
 
-    stds_sp, ev_sp = classify("scipy")
-    stds_cd, ev_cd = classify("chol_dist")
+    stds_sp, ev_sp, lpd_sp = classify("scipy")
+    stds_cd, ev_cd, lpd_cd = classify("chol_dist")
     for k in stds_sp:
         assert abs(stds_cd[k] - stds_sp[k]) < 2e-2 * stds_sp[k], (
             k, stds_cd[k], stds_sp[k])
     assert abs(ev_cd - ev_sp) < 1e-3 * abs(ev_sp), (ev_cd, ev_sp)
+    # float32-factor LPD agrees with the f64 scipy path
+    for k in lpd_sp:
+        assert abs(lpd_cd[k] - lpd_sp[k]) < max(
+            2e-2 * abs(lpd_sp[k]), 0.5), (k, lpd_cd[k], lpd_sp[k])
+
+    # and the scipy path matches a direct f64 oracle recomputation from
+    # the SAME stored arrays (absolute-jitter convention of the CLI)
+    import configs
+    from cnn_gp_tpu.data import DatasetFromConfig, open_store
+    from cnn_gp_tpu.ops import solve
+    config = configs.load("synthetic")
+    dataset = DatasetFromConfig(str(tmp_path), config)
+    _, ytr = DatasetFromConfig.load_full(dataset.train)
+    _, yv = DatasetFromConfig.load_full(dataset.validation)
+    with open_store(out, "r") as f:
+        kxx = solve.symmetrize_from_upper(f.read("Kxx", dtype=np.float64))
+        kxvx = f.read("Kxvx")
+        kv_diag = f.read("Kv_diag")
+    stats = solve.solve_gp_stats(kxx, solve.one_hot_targets(ytr),
+                                 jitter=1e-6,
+                                 splits=[(kxvx, kv_diag)])
+    scores = np.asarray(kxvx, np.float64) @ stats["alpha"]
+    want, _, _ = solve.gaussian_lpd(scores, stats["variances"][0], yv,
+                                    noise=1e-6)
+    assert abs(lpd_sp["validation"] - want) < max(1e-3 * abs(want), 1e-3), (
+        lpd_sp["validation"], want)
 
 
 def test_classify_gp_variances_solver_guard(tmp_path):
